@@ -1,0 +1,292 @@
+"""Candidate-pair generation (SURVEY.md §2.3 J1-J4) as DataFrame joins.
+
+Reference behaviors re-expressed Spark-first:
+  J1 cartesian pair join (two tables)      hive_data_extractor.py:130-153
+  J2 all-pairs self join (i<j)             csv_to_all_pairs.py:50-138,
+                                           csv_to_matching_format.py:100-111
+  J3 heuristic key blocking                csv_to_matching_format.py:59-84
+     + sorted-neighborhood generalization
+  J4 similarity blocking (embedding top-k) blocking/blocker.py:43-80
+     -> here: MinHash-LSH over token shingles (portable hash family) and
+        embedding LSH/top-k in operators/similarity.py
+
+Scale design (the part the reference never faces — its pairing is
+in-memory Python/numpy):
+  * every blocking pass emits (left_id, right_id, ...) with left_id <
+    right_id so union + dropDuplicates dedupes across passes;
+  * equal-key self joins are shuffle hash joins on the key; heavy keys are
+    capped (pairs-per-block bound) and salted before the join;
+  * sorted-neighborhood avoids the single-partition global window via
+    two-phase rank: range-partition by key, rank within partition, add
+    broadcast per-partition offsets (a DataFrame zipWithIndex);
+  * MinHash signatures are computed with native array expressions
+    (transform + array_min) — no explode of (shingle x seed), no Python.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+from ditto_spark.operators.hashing import porthash_seed
+
+
+# ---------------------------------------------------------------------------
+# J1/J2 exact pair joins (small inputs / test harness)
+# ---------------------------------------------------------------------------
+
+def cross_pairs(left: DataFrame, right: DataFrame) -> DataFrame:
+    """All pairs A x B (hive_data_extractor.py:147-152). Only sane for
+    tiny tables — blocking replaces this at scale."""
+    l = left.select(F.col("doc_id").alias("left_id"),
+                    F.col("text").alias("left_text"))
+    r = right.select(F.col("doc_id").alias("right_id"),
+                     F.col("text").alias("right_text"))
+    return l.crossJoin(r)
+
+
+def self_pairs(df: DataFrame) -> DataFrame:
+    """All unordered i<j pairs of one table (csv_to_all_pairs.py:94-117
+    emitted ordered pairs; csv_to_matching_format.py:100-111 unordered)."""
+    a = df.select(F.col("doc_id").alias("left_id"),
+                  F.col("text").alias("left_text"))
+    b = df.select(F.col("doc_id").alias("right_id"),
+                  F.col("text").alias("right_text"))
+    return a.join(b, F.col("left_id") < F.col("right_id"))
+
+
+# ---------------------------------------------------------------------------
+# J3a: equal-key blocking with skew control
+# ---------------------------------------------------------------------------
+
+def key_blocking(
+    df: DataFrame,
+    key: Column,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    max_block_rows: int | None = 1000,
+) -> DataFrame:
+    """Pair rows sharing a normalized blocking key.
+
+    Reference analog: equal-lastname blocking (csv_to_matching_format.py:
+    71-74). Scale contract: a block of b rows emits O(b^2) pairs, so rows
+    beyond ``max_block_rows`` within one key are dropped deterministically
+    (rank by id) — the cap the reference's in-memory loop never needed.
+    The self-join is an equi-join on the key (shuffle hash / sort-merge,
+    AQE splits residual skew).
+    """
+    keyed = df.select(
+        F.col(id_col).alias("id"), F.col(text_col).alias("txt"),
+        key.alias("block_key"),
+    ).filter(F.col("block_key").isNotNull() & (F.col("block_key") != ""))
+    if max_block_rows is not None:
+        w = Window.partitionBy("block_key").orderBy("id")
+        keyed = (keyed.withColumn("_rk", F.row_number().over(w))
+                 .filter(F.col("_rk") <= max_block_rows).drop("_rk"))
+    a = keyed.select(F.col("id").alias("left_id"),
+                     F.col("txt").alias("left_text"), "block_key")
+    b = keyed.select(F.col("id").alias("right_id"),
+                     F.col("txt").alias("right_text"),
+                     F.col("block_key").alias("bk2"))
+    return (
+        a.join(b, (F.col("block_key") == F.col("bk2"))
+               & (F.col("left_id") < F.col("right_id")))
+        .drop("bk2")
+    )
+
+
+# ---------------------------------------------------------------------------
+# J3b: sorted-neighborhood (distributed rank, no global single-partition sort)
+# ---------------------------------------------------------------------------
+
+def global_rank(df: DataFrame, key: Column, id_col: str = "doc_id",
+                n_parts: int = 0) -> DataFrame:
+    """Add a dense global rank ``rn`` ordered by ``(key, id)`` without a
+    global single-partition window: range-partition, rank within
+    partition, add broadcast per-partition offsets (DataFrame-native
+    zipWithIndex). Deterministic because the order key is total."""
+    n_parts = n_parts or df.sparkSession.conf.get(
+        "spark.sql.shuffle.partitions")
+    parted = (
+        df.withColumn("_k", key)
+        .repartitionByRange(int(n_parts), F.col("_k"), F.col(id_col))
+        .withColumn("_pid", F.spark_partition_id())
+    )
+    w = Window.partitionBy("_pid").orderBy(F.col("_k"), F.col(id_col))
+    ranked = parted.withColumn("_rn_in", F.row_number().over(w))
+    counts = ranked.groupBy("_pid").agg(F.count("*").alias("_cnt"))
+    offsets = counts.withColumn(
+        "_off",
+        F.coalesce(
+            F.sum("_cnt").over(
+                Window.orderBy("_pid").rowsBetween(
+                    Window.unboundedPreceding, -1)),
+            F.lit(0),
+        ),
+    ).select("_pid", "_off")
+    return (
+        ranked.join(F.broadcast(offsets), "_pid")
+        .withColumn("rn", F.col("_off") + F.col("_rn_in"))
+        .drop("_pid", "_rn_in", "_off")
+    )
+
+
+def sorted_neighborhood(
+    df: DataFrame,
+    key: Column,
+    window: int = 3,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Pair each row with its ``window`` successors in global key order.
+
+    Generalizes the reference's substring-containment heuristic
+    (csv_to_matching_format.py:71-74) into the classic sorted-neighborhood
+    pass. The neighbor match is an equi-join: each row exposes target
+    ranks rn+1..rn+window via a tiny explode, so Catalyst plans a shuffle
+    hash join on rank — no range-join, no global window.
+    """
+    ranked = global_rank(df.select(id_col, text_col), key, id_col=id_col
+                         ).select(F.col(id_col).alias("id"),
+                                  F.col(text_col).alias("txt"),
+                                  "rn", F.col("_k").alias("block_key"))
+    probes = ranked.select(
+        F.col("id").alias("left_id"), F.col("txt").alias("left_text"),
+        F.col("block_key"),
+        F.explode(F.sequence(F.col("rn") + 1, F.col("rn") + window)
+                  ).alias("target_rn"),
+    )
+    targets = ranked.select(F.col("id").alias("right_id"),
+                            F.col("txt").alias("right_text"),
+                            F.col("rn").alias("target_rn"))
+    pairs = probes.join(targets, "target_rn").drop("target_rn")
+    # normalize orientation so multi-pass union dedupes
+    return pairs.select(
+        F.least("left_id", "right_id").alias("left_id"),
+        F.greatest("left_id", "right_id").alias("right_id"),
+        F.when(F.col("left_id") <= F.col("right_id"), F.col("left_text")
+               ).otherwise(F.col("right_text")).alias("left_text"),
+        F.when(F.col("left_id") <= F.col("right_id"), F.col("right_text")
+               ).otherwise(F.col("left_text")).alias("right_text"),
+        "block_key",
+    )
+
+
+# ---------------------------------------------------------------------------
+# J4: MinHash-LSH over token shingles (portable hash family)
+# ---------------------------------------------------------------------------
+
+def tokenize(col: Column) -> Column:
+    """Lowercase word tokens; drops the COL/VAL markers' case variance.
+    Mirrors the reference's whitespace-token view (summarize.py:70-75)."""
+    return F.filter(
+        F.split(F.lower(F.trim(col)), r"\s+"), lambda t: t != F.lit("")
+    )
+
+
+def shingles(tokens: Column, n: int = 3) -> Column:
+    """Word n-gram shingles as strings; docs shorter than n yield the
+    whole-token join (so short docs still block)."""
+    idx = F.sequence(F.lit(0), F.greatest(F.size(tokens) - n, F.lit(0)))
+    return F.array_distinct(
+        F.transform(
+            idx,
+            lambda i: F.concat_ws(" ", F.slice(tokens, i + 1, n)),
+        )
+    )
+
+
+def minhash_signature(sh: Column, n_hashes: int = 16) -> Column:
+    """MinHash signature: per seed, min over shingles of the seeded
+    portable hash — one native array expression per seed (no explode)."""
+    return F.array(
+        *[
+            F.array_min(F.transform(sh, lambda s: porthash_seed(s, i)))
+            for i in range(n_hashes)
+        ]
+    )
+
+
+def band_keys(sig: Column, bands: int, rows_per_band: int) -> Column:
+    """LSH banding: hash each band of the signature to one bucket key."""
+    return F.array(
+        *[
+            F.concat_ws(
+                "_",
+                F.lit(str(b)),
+                F.md5(F.concat_ws(
+                    ",",
+                    *[F.element_at(sig, b * rows_per_band + r + 1).cast("string")
+                      for r in range(rows_per_band)],
+                )),
+            )
+            for b in range(bands)
+        ]
+    )
+
+
+def minhash_lsh_blocking(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n_hashes: int = 16,
+    bands: int = 4,
+    shingle_n: int = 3,
+    max_bucket_rows: int | None = 200,
+) -> DataFrame:
+    """Candidate pairs whose MinHash signatures collide in >=1 band.
+
+    Spark plan: scan -> native signature expressions -> explode band keys
+    (x bands rows) -> bucket self-join (equi-join on band key) ->
+    dropDuplicates. Bucket size capped like key_blocking to bound the
+    quadratic worst case; at 100TB the bucket join shuffles once on the
+    band key and AQE handles stragglers.
+    """
+    rows = n_hashes // bands
+    sig = df.select(
+        F.col(id_col).alias("id"),
+        F.col(text_col).alias("txt"),
+        band_keys(
+            minhash_signature(shingles(tokenize(F.col(text_col)), shingle_n),
+                              n_hashes),
+            bands, rows,
+        ).alias("bkeys"),
+    )
+    buckets = sig.select("id", "txt", F.explode("bkeys").alias("block_key"))
+    if max_bucket_rows is not None:
+        w = Window.partitionBy("block_key").orderBy("id")
+        buckets = (buckets.withColumn("_rk", F.row_number().over(w))
+                   .filter(F.col("_rk") <= max_bucket_rows).drop("_rk"))
+    a = buckets.select(F.col("id").alias("left_id"),
+                       F.col("txt").alias("left_text"), "block_key")
+    b = buckets.select(F.col("id").alias("right_id"),
+                       F.col("txt").alias("right_text"),
+                       F.col("block_key").alias("bk2"))
+    pairs = (
+        a.join(b, (F.col("block_key") == F.col("bk2"))
+               & (F.col("left_id") < F.col("right_id")))
+        .drop("bk2")
+    )
+    return pairs.dropDuplicates(["left_id", "right_id"])
+
+
+# ---------------------------------------------------------------------------
+# multi-pass union
+# ---------------------------------------------------------------------------
+
+def union_candidates(*passes: DataFrame) -> DataFrame:
+    """Union blocking passes and dedupe pairs; keeps the first pass's
+    block_key per pair (deterministic via min)."""
+    cols = ["left_id", "right_id", "left_text", "right_text", "block_key"]
+    out = passes[0].select(*cols)
+    for p in passes[1:]:
+        out = out.unionByName(p.select(*cols))
+    return (
+        out.groupBy("left_id", "right_id")
+        .agg(
+            F.min("block_key").alias("block_key"),
+            F.first("left_text", ignorenulls=True).alias("left_text"),
+            F.first("right_text", ignorenulls=True).alias("right_text"),
+        )
+        .select(*cols)
+    )

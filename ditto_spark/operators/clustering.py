@@ -1,0 +1,110 @@
+"""Transitive clustering: connected components over match edges.
+
+The reference emits independent pairwise decisions and stops
+(matcher.py:156-160); the north_star adds transitive clustering into
+entity ids. GraphFrames is not available here, so this is the
+alternating large-star / small-star algorithm (Kiveris et al.,
+"Connected Components in MapReduce and Beyond", SoCC'14) implemented as
+pure DataFrame joins:
+
+  large-star: for each node, link every LARGER neighbor to the minimum
+              of the neighborhood (including self);
+  small-star: link every smaller-or-equal neighbor to the minimum.
+
+Each iteration is two groupBy/aggregate + join rounds; convergence in
+O(log n) iterations. ``localCheckpoint`` truncates the lineage each
+round (mandatory for iterative Spark plans). Labels are the component's
+minimum doc_id — deterministic, reproducible across partitionings.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def _canon(edges: DataFrame) -> DataFrame:
+    """Undirected edge set, canonical (min, max) orientation, no loops."""
+    return (
+        edges.select(
+            F.least("src", "dst").alias("src"),
+            F.greatest("src", "dst").alias("dst"),
+        )
+        .filter(F.col("src") != F.col("dst"))
+        .distinct()
+    )
+
+
+def _large_star(edges: DataFrame) -> DataFrame:
+    bidir = edges.union(edges.select(F.col("dst").alias("src"),
+                                     F.col("src").alias("dst")))
+    nbr_min = bidir.groupBy("src").agg(
+        F.least(F.min("dst"), F.first("src")).alias("m"))
+    return (
+        bidir.join(nbr_min, "src")
+        .filter(F.col("dst") > F.col("src"))
+        .select(F.col("dst").alias("src"), F.col("m").alias("dst"))
+        .distinct()
+    )
+
+
+def _small_star(edges: DataFrame) -> DataFrame:
+    # orient toward larger: src > dst
+    pointed = edges.select(
+        F.greatest("src", "dst").alias("src"),
+        F.least("src", "dst").alias("dst"),
+    )
+    nbr_min = pointed.groupBy("src").agg(
+        F.least(F.min("dst"), F.first("src")).alias("m"))
+    linked = (
+        pointed.join(nbr_min, "src")
+        .select(F.col("dst").alias("src"), F.col("m").alias("dst"))
+    )
+    self_link = nbr_min.select(F.col("src"), F.col("m").alias("dst"))
+    return linked.union(self_link).filter(
+        F.col("src") != F.col("dst")).distinct()
+
+
+def connected_components(
+    edges: DataFrame, max_iter: int = 30
+) -> DataFrame:
+    """edges(src, dst) -> (doc_id, entity_id) with entity_id = the
+    component's minimum node id. Nodes appearing only as singletons must
+    be handled by the caller (outer-join docs afterwards)."""
+    cur = _canon(edges).localCheckpoint(eager=True)
+    for _ in range(max_iter):
+        nxt = _small_star(_large_star(cur)).localCheckpoint(eager=True)
+        # convergence check: canonical edge-set fingerprint (one cheap agg)
+        a = _canon(cur)
+        b = _canon(nxt)
+        changed = a.union(b).subtract(a.intersect(b)).limit(1).count()
+        cur = nxt
+        if changed == 0:
+            break
+    # converged edges are (component_min=src, member=dst) after _canon
+    comp = _canon(cur)
+    members = comp.select(F.col("dst").alias("doc_id"),
+                          F.col("src").alias("entity_id")).union(
+        comp.select(F.col("src").alias("doc_id"),
+                    F.col("src").alias("entity_id")))
+    return (
+        members.groupBy("doc_id")
+        .agg(F.min("entity_id").alias("entity_id"))
+    )
+
+
+def assign_entities(docs: DataFrame, matches: DataFrame,
+                    id_col: str = "doc_id") -> DataFrame:
+    """(docs, positive matches) -> (doc_id, entity_id); unmatched docs
+    become singleton entities labeled by their own id."""
+    edges = matches.filter(F.col("match") == 1).select(
+        F.col("left_id").alias("src"), F.col("right_id").alias("dst"))
+    comp = connected_components(edges)
+    return (
+        docs.select(F.col(id_col).alias("doc_id"))
+        .join(comp, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.coalesce("entity_id", F.col("doc_id")).alias("entity_id"),
+        )
+    )

@@ -1,0 +1,183 @@
+"""COL/VAL serialization — the engine's core row transform (P1-P6).
+
+Reference semantics (all /root/reference):
+  * dict/row -> ``COL <attr> VAL <value> ...``, values str().strip()'ed,
+    NaN/empty attrs skipped: matcher.py:51-60, hive_data_extractor.py:95-113,
+    csv_to_matching_format.py:24-45, create_dataset.py:150-156.
+  * ``tablename.column`` prefix stripping: hive_data_extractor.py:101-107.
+  * production (``*_left``/``*_right``) vs testing layout auto-detect:
+    hive_ditto_standalone.py:68-115; split: :117-164.
+
+Spark-first design: serialization is a single native column expression
+(transform + concat_ws) that whole-stage-codegens — zero Python in the hot
+path. Media spans are injected as typed tokens (``[MEDIA] <ref>``), the
+interleaved-media analog of DK's PRODUCT/NUM/ID tokens
+(ditto_light/knowledge.py:78-105).
+
+The parse direction (round-trip invariant from BASELINE.json input_hint)
+is a vectorized pandas UDF — it is a test/lineage utility, not on the
+query hot path.
+"""
+
+from __future__ import annotations
+
+import pandas as pd
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.types import ArrayType
+
+from ditto_spark.schema import SPAN_TYPE
+
+MEDIA_TOKEN = "[MEDIA]"
+
+
+def span_value(s: Column) -> Column:
+    """Value part of one span: media spans become typed tokens."""
+    return F.when(
+        s["media_ref"].isNotNull(),
+        F.concat(F.lit(MEDIA_TOKEN + " "), s["media_ref"]),
+    ).otherwise(F.trim(F.coalesce(s["text"], F.lit(""))))
+
+
+def serialize_spans(spans: Column, drop_empty: bool = False) -> Column:
+    """spans array -> one COL/VAL string, preserving span order.
+
+    drop_empty=True reproduces the reference's skip-NaN/blank behavior
+    (matcher.py:53-57); drop_empty=False keeps empty values so the
+    round-trip parse recovers the exact span sequence.
+    """
+    ordered = F.array_sort(
+        F.transform(
+            spans,
+            lambda s: F.struct(
+                s["offset"].alias("offset"),
+                s["kind"].alias("kind"),
+                s["text"].alias("text"),
+                s["media_ref"].alias("media_ref"),
+            ),
+        )
+    )
+    if drop_empty:
+        ordered = F.filter(
+            ordered,
+            lambda s: s["media_ref"].isNotNull()
+            | (F.trim(F.coalesce(s["text"], F.lit(""))) != F.lit("")),
+        )
+    return F.concat_ws(
+        " ",
+        F.transform(
+            ordered,
+            lambda s: F.concat(
+                F.lit("COL "), s["kind"], F.lit(" VAL"),
+                F.when(span_value(s) != F.lit(""),
+                       F.concat(F.lit(" "), span_value(s))
+                       ).otherwise(F.lit("")),
+            ),
+        ),
+    )
+
+
+def serialize_docs(docs: DataFrame, out_col: str = "text",
+                   drop_empty: bool = False) -> DataFrame:
+    """(doc_id, spans) -> (doc_id, spans, <out_col>)."""
+    return docs.withColumn(out_col, serialize_spans(F.col("spans"), drop_empty))
+
+
+def _parse_one(text: str) -> list:
+    """Inverse of serialize_spans (exact for values not containing the
+    literal markers 'COL '/' VAL' — same ambiguity the reference format
+    has, README.md:28-32)."""
+    spans = []
+    if not text:
+        return spans
+    parts = text.split("COL ")
+    off = 0
+    for part in parts:
+        if not part.strip():
+            continue
+        if " VAL" not in part:
+            continue
+        kind, _, val = part.partition(" VAL")
+        val = val.strip()
+        if val.startswith(MEDIA_TOKEN):
+            media_ref = val[len(MEDIA_TOKEN):].strip()
+            spans.append((kind.strip(), "", media_ref, off))
+        else:
+            spans.append((kind.strip(), val, None, off))
+        off += 1
+    return spans
+
+
+@F.pandas_udf(ArrayType(SPAN_TYPE))
+def parse_serialized(texts: pd.Series) -> pd.Series:
+    """Vectorized COL/VAL parser (round-trip invariant utility)."""
+    return texts.map(_parse_one)
+
+
+# ---------------------------------------------------------------------------
+# Flat relational tables -> COL/VAL (the Hive ingestion path)
+# ---------------------------------------------------------------------------
+
+def strip_column_prefixes(df: DataFrame) -> DataFrame:
+    """``tablename.column`` -> ``column`` (hive_data_extractor.py:101-107)."""
+    renames = {c: c.split(".", 1)[1] for c in df.columns if "." in c}
+    return df.withColumnsRenamed(renames) if renames else df
+
+
+def detect_layout(df: DataFrame) -> str:
+    """'production' if paired *_left/*_right columns cover a common field
+    set, else 'testing' (hive_ditto_standalone.py:68-115)."""
+    cols = df.columns
+    lefts = {c[:-5] for c in cols if c.endswith("_left")}
+    rights = {c[:-6] for c in cols if c.endswith("_right")}
+    return "production" if lefts & rights else "testing"
+
+
+def serialize_flat(df: DataFrame, attr_cols: list[str],
+                   out_col: str = "text") -> Column | DataFrame:
+    """Flat columns -> COL/VAL string; skips null/blank values per column
+    (matcher.py:53-57 skip semantics) as one codegen'd expression."""
+    pieces = [
+        F.when(
+            F.trim(F.coalesce(F.col(c).cast("string"), F.lit(""))) != "",
+            F.concat(F.lit(f"COL {c} VAL "),
+                     F.trim(F.col(c).cast("string"))),
+        )
+        for c in attr_cols
+    ]
+    return df.withColumn(out_col, F.concat_ws(" ", *pieces))
+
+
+def split_production(df: DataFrame, id_col: str | None = None) -> DataFrame:
+    """Pre-paired *_left/*_right table -> (left_id, right_id, left_text,
+    right_text) candidates (hive_ditto_standalone.py:117-164) without any
+    join — two projections over the same row."""
+    fields = sorted(
+        {c[:-5] for c in df.columns if c.endswith("_left")}
+        & {c[:-6] for c in df.columns if c.endswith("_right")}
+    )
+    # both sides project from one scan — no join, no shuffle
+    lpieces = [
+        F.when(
+            F.trim(F.coalesce(F.col(f + "_left").cast("string"), F.lit(""))) != "",
+            F.concat(F.lit(f"COL {f} VAL "),
+                     F.trim(F.col(f + "_left").cast("string"))),
+        )
+        for f in fields
+    ]
+    rpieces = [
+        F.when(
+            F.trim(F.coalesce(F.col(f + "_right").cast("string"), F.lit(""))) != "",
+            F.concat(F.lit(f"COL {f} VAL "),
+                     F.trim(F.col(f + "_right").cast("string"))),
+        )
+        for f in fields
+    ]
+    rid = (F.col(id_col).cast("string") if id_col
+           else F.monotonically_increasing_id().cast("string"))
+    return df.select(
+        F.concat(F.lit("L"), rid).alias("left_id"),
+        F.concat(F.lit("R"), rid).alias("right_id"),
+        F.concat_ws(" ", *lpieces).alias("left_text"),
+        F.concat_ws(" ", *rpieces).alias("right_text"),
+    )

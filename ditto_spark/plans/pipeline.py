@@ -1,0 +1,127 @@
+"""End-to-end ER pipeline: the Spark re-creation of the reference's
+matcher/standalone flow (SURVEY.md §3.1, §3.3).
+
+    docs -> serialize (P1) -> [summarize P7] -> [dk P8]
+         -> block (J3 sorted-neighborhood ∪ J4 minhash-LSH)
+         -> score (M1-M3 iterator UDF)
+         -> threshold decisions -> cluster (connected components)
+
+One lazy DataFrame chain per stage; optional CheckpointStore makes every
+stage resumable with lineage + metrics (the Iceberg choreography that
+replaces the reference's PVC/file handoff, ditto_kubeflow_pipeline.py:
+521-589).
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ditto_spark.operators import blocking as B
+from ditto_spark.operators.clustering import assign_entities
+from ditto_spark.operators.knowledge import dk_inject_df
+from ditto_spark.operators.scoring import SurrogateBackend, score_pairs
+from ditto_spark.operators.serialize import serialize_docs
+from ditto_spark.operators.summarize import build_idf, summarize_column
+from ditto_spark.sources.checkpoint import CheckpointStore, fingerprint_of
+
+
+@dataclass
+class PipelineConfig:
+    threshold: float = 0.5
+    use_summarizer: bool = False       # needs a corpus pass; optional
+    summarizer_max_len: int = 64
+    use_dk: bool = True
+    minhash_hashes: int = 16
+    minhash_bands: int = 8
+    shingle_n: int = 3
+    sn_window: int = 4
+    max_bucket_rows: int = 200
+    backend_factory: object = field(default=SurrogateBackend)
+
+
+def sn_key(text_col: str = "text"):
+    """Sorted-neighborhood key: first value tokens of the serialized doc,
+    normalized (the reference's lastname-equality analog,
+    csv_to_matching_format.py:71-74)."""
+    toks = F.filter(
+        F.split(F.lower(F.col(text_col)), r"\s+"),
+        lambda t: (t != "col") & (t != "val") & (t != ""),
+    )
+    return F.concat_ws(" ", F.slice(toks, 2, 3))
+
+
+def run_pipeline(
+    spark: SparkSession,
+    docs: DataFrame,
+    cfg: PipelineConfig | None = None,
+    store: CheckpointStore | None = None,
+) -> dict[str, DataFrame]:
+    """Returns {'serialized', 'candidates', 'scored', 'matches',
+    'entities'} DataFrames. With ``store`` set, every stage checkpoints
+    and resumes idempotently."""
+    cfg = cfg or PipelineConfig()
+
+    def ck(name: str, fp_parts: tuple, build, partition_by=None) -> DataFrame:
+        if store is None:
+            return build()
+        return store.stage(name, fingerprint_of(*fp_parts), build,
+                           partition_by)
+
+    # 1. serialize (drop_empty per reference matcher.py:53-57)
+    serialized = ck(
+        "serialized", ("serialize", cfg.use_dk, cfg.use_summarizer),
+        lambda: _preprocess(spark, docs, cfg),
+    )
+
+    # 2. blocking: two passes, unioned + deduped
+    def build_candidates() -> DataFrame:
+        mh = B.minhash_lsh_blocking(
+            serialized, n_hashes=cfg.minhash_hashes, bands=cfg.minhash_bands,
+            shingle_n=cfg.shingle_n, max_bucket_rows=cfg.max_bucket_rows,
+        )
+        sn = B.sorted_neighborhood(serialized, sn_key(), window=cfg.sn_window)
+        return B.union_candidates(mh, sn)
+
+    candidates = ck(
+        "candidates",
+        ("block", cfg.minhash_hashes, cfg.minhash_bands, cfg.shingle_n,
+         cfg.sn_window, cfg.max_bucket_rows),
+        build_candidates,
+    )
+
+    # 3. score
+    scored = ck(
+        "scored", ("score", cfg.threshold),
+        lambda: score_pairs(candidates, cfg.threshold, cfg.backend_factory),
+    )
+    matches = scored.select("left_id", "right_id", "match",
+                            "match_confidence")
+
+    # 4. transitive clustering
+    entities = ck(
+        "entities", ("cluster", cfg.threshold),
+        lambda: assign_entities(docs.select("doc_id"), scored),
+    )
+
+    return {
+        "serialized": serialized,
+        "candidates": candidates,
+        "scored": scored,
+        "matches": matches,
+        "entities": entities,
+    }
+
+
+def _preprocess(spark: SparkSession, docs: DataFrame,
+                cfg: PipelineConfig) -> DataFrame:
+    out = serialize_docs(docs, drop_empty=True).select("doc_id", "text")
+    if cfg.use_summarizer:
+        idf, dflt = build_idf(spark, out)
+        out = summarize_column(out, idf, dflt, ["text"],
+                               cfg.summarizer_max_len)
+    if cfg.use_dk:
+        out = dk_inject_df(out, ["text"])
+    return out

@@ -1,0 +1,119 @@
+"""Stage checkpointing with per-partition lineage + metrics.
+
+Generalizes the reference's compute-once file caches — summarizer ``.su``
+(summarize.py:116-135), DK ``.dk`` (knowledge.py:27-50), embedding
+``.mat`` (blocking/blocker.py:14-40): each stage writes its output table
+once, keyed by a content fingerprint; a re-run whose fingerprint matches
+reads the checkpoint instead of recomputing, so any stage resumes
+idempotently (north_rule requirement).
+
+Storage: Iceberg when a catalog is configured; this sandbox has no
+Iceberg jars, so the store writes parquet + a JSON manifest with the same
+API (the manifest plays the role of the Iceberg snapshot: fingerprint,
+schema, row count, per-file lineage). Alongside each checkpoint the store
+appends to two control tables:
+
+  _lineage : (stage, file, rows)            -- per output partition/file
+  _metrics : (stage, fingerprint, rows, wall_ms, recomputed)
+
+which is the set-based replacement for the reference's print-based stats
+(hive_ditto_standalone.py:262-286) and log.txt timing (matcher.py:187-189).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import time
+from typing import Callable
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+
+class CheckpointStore:
+    def __init__(self, spark: SparkSession, base_path: str):
+        self.spark = spark
+        self.base = base_path
+        os.makedirs(base_path, exist_ok=True)
+        self.recomputed: list[str] = []  # stages computed (not resumed) this run
+
+    # -- paths ------------------------------------------------------------
+    def _dir(self, stage: str) -> str:
+        return os.path.join(self.base, stage)
+
+    def _manifest(self, stage: str) -> str:
+        return os.path.join(self.base, f"{stage}.manifest.json")
+
+    # -- core -------------------------------------------------------------
+    def stage(
+        self,
+        name: str,
+        fingerprint: str,
+        build: Callable[[], DataFrame],
+        partition_by: list[str] | None = None,
+    ) -> DataFrame:
+        """Return the checkpointed output of ``build`` for this stage.
+
+        If a manifest exists with the same fingerprint, the stored table
+        is read back (resume path — ``build`` is never invoked). Otherwise
+        the stage is computed, written once, and lineage/metrics recorded.
+        """
+        mpath = self._manifest(name)
+        if os.path.exists(mpath):
+            with open(mpath) as f:
+                manifest = json.load(f)
+            if manifest.get("fingerprint") == fingerprint:
+                return self.spark.read.parquet(self._dir(name))
+
+        t0 = time.monotonic()
+        df = build()
+        writer = df.write.mode("overwrite")
+        if partition_by:
+            writer = writer.partitionBy(*partition_by)
+        writer.parquet(self._dir(name))
+        wall_ms = int((time.monotonic() - t0) * 1000)
+
+        out = self.spark.read.parquet(self._dir(name))
+        lineage = (
+            out.groupBy(F.input_file_name().alias("file"))
+            .agg(F.count("*").alias("rows"))
+            .withColumn("stage", F.lit(name))
+            .select("stage", "file", "rows")
+        )
+        lineage.write.mode("append").parquet(
+            os.path.join(self.base, "_lineage"))
+        total = out.count()
+        metrics = self.spark.createDataFrame(
+            [(name, fingerprint, total, wall_ms, True)],
+            "stage string, fingerprint string, rows long, wall_ms long, "
+            "recomputed boolean",
+        )
+        metrics.write.mode("append").parquet(
+            os.path.join(self.base, "_metrics"))
+        with open(mpath, "w") as f:
+            json.dump(
+                {"stage": name, "fingerprint": fingerprint,
+                 "rows": total, "wall_ms": wall_ms,
+                 "schema": out.schema.json()},
+                f,
+            )
+        self.recomputed.append(name)
+        return out
+
+    # -- introspection ----------------------------------------------------
+    def lineage(self) -> DataFrame:
+        return self.spark.read.parquet(os.path.join(self.base, "_lineage"))
+
+    def metrics(self) -> DataFrame:
+        return self.spark.read.parquet(os.path.join(self.base, "_metrics"))
+
+
+def fingerprint_of(*parts: object) -> str:
+    """Deterministic stage fingerprint from config + upstream fingerprints."""
+    import hashlib
+
+    h = hashlib.md5()
+    for p in parts:
+        h.update(repr(p).encode())
+    return h.hexdigest()

@@ -1,0 +1,96 @@
+"""Blocking-layer tests: pair semantics, caps, recall on planted dups."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from ditto_spark.operators.blocking import (
+    cross_pairs,
+    key_blocking,
+    minhash_lsh_blocking,
+    self_pairs,
+    sorted_neighborhood,
+    union_candidates,
+)
+from ditto_spark.operators.serialize import serialize_docs
+from ditto_spark.synth import docs_df, truth_df
+
+
+def _fixture(spark, n=80):
+    docs = serialize_docs(docs_df(spark, n_entities=n), drop_empty=True)
+    truth = truth_df(spark, n_entities=n)
+    return docs.select("doc_id", "text"), truth
+
+
+def _recall(pairs, truth) -> float:
+    t = truth
+    true_pairs = (
+        t.alias("a")
+        .join(t.alias("b"), F.col("a.cluster_id") == F.col("b.cluster_id"))
+        .filter(F.col("a.doc_id") < F.col("b.doc_id"))
+        .select(
+            F.col("a.doc_id").alias("left_id"),
+            F.col("b.doc_id").alias("right_id"),
+        )
+    )
+    total = true_pairs.count()
+    hit = true_pairs.join(
+        pairs.select("left_id", "right_id").distinct(),
+        ["left_id", "right_id"],
+    ).count()
+    return hit / total if total else 1.0
+
+
+def test_self_pairs_count(spark):
+    df = spark.createDataFrame(
+        [(f"d{i}", f"t{i}") for i in range(5)], "doc_id string, text string"
+    )
+    assert self_pairs(df).count() == 10  # C(5,2)
+    other = spark.createDataFrame([("x1", "a"), ("x2", "b")],
+                                  "doc_id string, text string")
+    assert cross_pairs(df, other).count() == 10
+
+
+def test_key_blocking_pairs_and_cap(spark):
+    df = spark.createDataFrame(
+        [("d1", "ann smith"), ("d2", "anne smith"), ("d3", "bob jones"),
+         ("d4", "ann smyth")],
+        "doc_id string, text string",
+    )
+    key = F.substring(F.col("text"), 1, 3)
+    pairs = key_blocking(df, key).collect()
+    got = {(p.left_id, p.right_id) for p in pairs}
+    assert got == {("d1", "d2"), ("d1", "d4"), ("d2", "d4")}
+    # cap: max_block_rows=2 keeps only the 2 smallest ids per key -> 1 pair
+    capped = key_blocking(df, key, max_block_rows=2)
+    assert {(p.left_id, p.right_id) for p in capped.collect()} == {("d1", "d2")}
+
+
+def test_sorted_neighborhood_window(spark):
+    df = spark.createDataFrame(
+        [(f"d{i}", f"{chr(97 + i)}text") for i in range(6)],
+        "doc_id string, text string",
+    )
+    pairs = sorted_neighborhood(df, F.col("text"), window=2)
+    got = {(p.left_id, p.right_id) for p in pairs.collect()}
+    expected = {(f"d{i}", f"d{j}") for i in range(6) for j in range(6)
+                if 0 < j - i <= 2}
+    assert got == expected
+
+
+def test_minhash_lsh_finds_near_dups(spark):
+    docs, truth = _fixture(spark)
+    pairs = minhash_lsh_blocking(docs, n_hashes=16, bands=8)
+    rec = _recall(pairs, truth)
+    assert rec > 0.65, f"minhash recall too low: {rec}"
+
+
+def test_multi_pass_union_recall(spark):
+    docs, truth = _fixture(spark)
+    p1 = minhash_lsh_blocking(docs, n_hashes=16, bands=8)
+    p2 = sorted_neighborhood(docs, F.col("text"), window=4)
+    merged = union_candidates(p1, p2)
+    rec = _recall(merged, truth)
+    assert rec > 0.8, f"union recall too low: {rec}"
+    # pair dedupe holds
+    assert merged.count() == merged.select("left_id", "right_id").distinct().count()
