@@ -1,38 +1,715 @@
 """Driver contract for the spark-graft builder (PySpark target).
 
-The driver's verify runs ``entry(spark)`` as a smoke check, runs
-each ``queries()[name]`` at sf=0.01 and compares it against the
-matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
-order-insensitive value-hash → CORRECTNESS_r{N}.json). Fill these in
-as you implement operators from SURVEY.md §2.
+``queries()`` exposes every implemented operator family from SURVEY.md §2
+as a (spark, sf_dir) -> DataFrame callable; ``oracle_sql()`` gives the
+DuckDB-equivalent SQL. Numeric conventions shared by both sides so the
+value-hash compare is exact:
+
+  * money/quantity aggregates run in DECIMAL(18,2)/(38,4) (order-
+    independent exact arithmetic), presented as DOUBLE;
+  * floating similarity scores are computed with identical operation
+    order on both engines (sequential double accumulation) and rounded
+    to 6 decimals;
+  * hashes use the portable md5-prefix bigint (ditto_spark.operators.
+    hashing) which both engines reproduce bit-exactly.
 """
 
 from __future__ import annotations
 
+import os
+import sys
 from collections.abc import Callable
 
-from pyspark.sql import DataFrame, SparkSession
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ditto_spark.functions.text import (
+    BPE_RE,
+    FP_MOD,
+    LANG_PROFILES,
+    fingerprint,
+    lang_id,
+    quality_score,
+    token_count_bpe,
+    token_count_ws,
+)
+from ditto_spark.operators.blocking import key_blocking, sorted_neighborhood
+from ditto_spark.operators.dedup import (
+    exact_duplicates,
+    ngram_jaccard_pairs,
+    simhash_df,
+)
+from ditto_spark.operators.hashing import porthash_seed, porthash_seed_sql, porthash_sql
+from ditto_spark.operators.clustering import connected_components
+from ditto_spark.operators.serialize import serialize_spans
+from ditto_spark.operators.similarity import cosine, cosine_topk
+
+
+def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    return spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
+
+
+def _dec(col, p=18, s=2):
+    return col.cast(f"decimal({p},{s})")
+
+
+# ---------------------------------------------------------------------------
+# spans derivation: the interleaved-spans doc table, built deterministically
+# from the flat documents table (same construction in SQL for the oracle)
+# ---------------------------------------------------------------------------
+
+def _spans_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = _t(spark, sf_dir, "documents")
+    spans = F.array(
+        F.struct(F.lit("title").alias("kind"), F.col("source").alias("text"),
+                 F.lit(None).cast("string").alias("media_ref"),
+                 F.lit(0).alias("offset")),
+        F.struct(F.lit("body").alias("kind"), F.col("text").alias("text"),
+                 F.lit(None).cast("string").alias("media_ref"),
+                 F.lit(1).alias("offset")),
+    )
+    media = F.struct(
+        F.lit("media").alias("kind"), F.lit("").alias("text"),
+        F.concat(F.lit("img://corpus/"), F.col("doc_id").cast("string"),
+                 F.lit(".jpg")).alias("media_ref"),
+        F.lit(2).alias("offset"),
+    )
+    return d.select(
+        "doc_id",
+        F.when(F.col("doc_id") % 5 == 0,
+               F.concat(spans, F.array(media))).otherwise(spans).alias("spans"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# entry: flagship query — the full ER pipeline on sf0.001
+# ---------------------------------------------------------------------------
 
 def entry(spark: SparkSession) -> DataFrame:
-    """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    raise NotImplementedError("fill in: load sf0.001 parquet → run flagship query")
+    from ditto_spark.plans.pipeline import PipelineConfig, run_pipeline
+
+    docs = _spans_docs(spark, "/root/testdata/sf0.001").select(
+        F.col("doc_id").cast("string").alias("doc_id"), "spans")
+    out = run_pipeline(spark, docs, PipelineConfig(sn_window=2))
+    return out["entities"]
+
+
+# ---------------------------------------------------------------------------
+# queries
+# ---------------------------------------------------------------------------
+
+def _q1_pricing_summary(spark, sf_dir):
+    li = _t(spark, sf_dir, "lineitem")
+    return (
+        li.filter(F.col("l_shipdate") <= "1999-12-01")
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.sum(_dec(F.col("l_quantity"))).cast("double").alias("sum_qty"),
+            F.sum(_dec(F.col("l_extendedprice"))).cast("double")
+            .alias("sum_base_price"),
+            F.sum(_dec(F.col("l_extendedprice"), 38, 6)
+                  * _dec(1 - F.col("l_discount"), 38, 6))
+            .cast("double").alias("sum_disc_price"),
+            F.count("*").alias("count_order"),
+        )
+        .orderBy("l_returnflag", "l_linestatus")
+    )
+
+
+def _q3_top_unshipped(spark, sf_dir):
+    c = _t(spark, sf_dir, "customer").filter(
+        F.col("c_mktsegment") == "BUILDING")
+    o = _t(spark, sf_dir, "orders").filter(F.col("o_orderdate") < "1998-01-01")
+    li = _t(spark, sf_dir, "lineitem").filter(
+        F.col("l_shipdate") > "1998-01-01")
+    return (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .groupBy("l_orderkey", "o_orderdate")
+        .agg(
+            F.sum(_dec(F.col("l_extendedprice"), 38, 6)
+                  * _dec(1 - F.col("l_discount"), 38, 6))
+            .cast("double").alias("revenue"))
+        .orderBy(F.desc("revenue"), F.asc("l_orderkey"))
+        .limit(10)
+    )
+
+
+def _q5_region_revenue(spark, sf_dir):
+    r = _t(spark, sf_dir, "region").filter(F.col("r_name") == "ASIA")
+    n = _t(spark, sf_dir, "nation")
+    c = _t(spark, sf_dir, "customer")
+    s = _t(spark, sf_dir, "supplier")
+    o = _t(spark, sf_dir, "orders")
+    li = _t(spark, sf_dir, "lineitem")
+    return (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .join(c, o.o_custkey == c.c_custkey)
+        .join(s, (li.l_suppkey == s.s_suppkey)
+              & (c.c_nationkey == s.s_nationkey))
+        .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+        .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
+        .groupBy("n_name")
+        .agg(
+            F.sum(_dec(F.col("l_extendedprice"), 38, 6)
+                  * _dec(1 - F.col("l_discount"), 38, 6))
+            .cast("double").alias("revenue"))
+        .orderBy(F.desc("revenue"), F.asc("n_name"))
+    )
+
+
+def _q_window_top_suppliers(spark, sf_dir):
+    from pyspark.sql import Window
+
+    s = _t(spark, sf_dir, "supplier")
+    n = _t(spark, sf_dir, "nation")
+    w = Window.partitionBy("s_nationkey").orderBy(
+        F.desc("s_acctbal"), F.asc("s_suppkey"))
+    return (
+        s.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= 3)
+        .join(F.broadcast(n), s.s_nationkey == n.n_nationkey)
+        .select("n_name", "s_name",
+                F.col("s_acctbal").cast("double").alias("acctbal"),
+                F.col("rk").alias("rnk"))
+        .orderBy("n_name", "rnk")
+    )
+
+
+def _q_rollup_orders(spark, sf_dir):
+    o = _t(spark, sf_dir, "orders")
+    return (
+        o.rollup("o_orderstatus", "o_orderpriority")
+        .agg(F.count("*").alias("n_orders"),
+             F.sum(_dec(F.col("o_totalprice"))).cast("double")
+             .alias("total_price"))
+    )
+
+
+def _q_semi_customers(spark, sf_dir):
+    c = _t(spark, sf_dir, "customer")
+    o = _t(spark, sf_dir, "orders")
+    return (
+        c.join(o, c.c_custkey == o.o_custkey, "left_semi")
+        .select("c_custkey", "c_name")
+    )
+
+
+def _q_anti_customers(spark, sf_dir):
+    c = _t(spark, sf_dir, "customer")
+    o = _t(spark, sf_dir, "orders")
+    return (
+        c.join(o, c.c_custkey == o.o_custkey, "left_anti")
+        .select("c_custkey", "c_name")
+    )
+
+
+def _q_distinct_priority(spark, sf_dir):
+    o = _t(spark, sf_dir, "orders")
+    return (
+        o.groupBy("o_orderpriority")
+        .agg(F.countDistinct("o_custkey").alias("n_customers"),
+             F.count("*").alias("n_orders"))
+    )
+
+
+def _q_events_daily(spark, sf_dir):
+    e = _t(spark, sf_dir, "events")
+    return (
+        e.groupBy(F.date_trunc("day", F.col("ts")).alias("day"), "event_type")
+        .agg(F.count("*").alias("n_events"),
+             F.sum(_dec(F.col("value"))).cast("double").alias("sum_value"))
+    )
+
+
+def _q_events_sessions(spark, sf_dir):
+    from pyspark.sql import Window
+
+    e = _t(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    gap = F.unix_timestamp("ts") - F.unix_timestamp(F.lag("ts").over(w))
+    newsess = F.when(gap.isNull() | (gap > 1800), 1).otherwise(0)
+    return (
+        e.withColumn("is_new", newsess)
+        .groupBy("user_id")
+        .agg(F.sum("is_new").alias("n_sessions"),
+             F.count("*").alias("n_events"))
+    )
+
+
+def _q_events_json(spark, sf_dir):
+    e = _t(spark, sf_dir, "events")
+    k = F.get_json_object(F.col("props"), "$.k").cast("int")
+    return (
+        e.withColumn("k", k)
+        .groupBy("event_type")
+        .agg(F.sum("k").alias("sum_k"), F.max("k").alias("max_k"),
+             F.count("*").alias("n"))
+    )
+
+
+def _er_serialize(spark, sf_dir):
+    docs = _spans_docs(spark, sf_dir)
+    return docs.select(
+        "doc_id",
+        serialize_spans(F.col("spans"), drop_empty=True).alias("serialized"),
+    )
+
+
+def _er_blocking_key_pairs(spark, sf_dir):
+    d = _t(spark, sf_dir, "documents")
+    key = F.concat_ws("_", F.col("lang"), F.col("source"))
+    pairs = key_blocking(d, key, id_col="doc_id", text_col="text",
+                         max_block_rows=50)
+    return pairs.select("left_id", "right_id", "block_key")
+
+
+def _er_sorted_neighborhood(spark, sf_dir):
+    d = _t(spark, sf_dir, "documents").select("doc_id",
+                                              F.col("text").alias("text"))
+    pairs = sorted_neighborhood(d, F.lower(F.col("text")), window=2)
+    return pairs.select("left_id", "right_id")
+
+
+def _er_minhash(spark, sf_dir):
+    d = _t(spark, sf_dir, "documents")
+    toks = F.array_distinct(
+        F.filter(F.split(F.lower(F.trim(F.col("text"))), r"\s+"),
+                 lambda t: t != F.lit("")))
+    out = d.select("doc_id", toks.alias("toks"))
+
+    def seeded(seed: int):
+        return lambda t: porthash_seed(t, seed)
+
+    for i in range(4):
+        out = out.withColumn(
+            f"h{i}", F.array_min(F.transform(F.col("toks"), seeded(i))))
+    return out.select("doc_id", "h0", "h1", "h2", "h3")
+
+
+def _dedup_exact(spark, sf_dir):
+    d = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    planted = d.filter(F.col("doc_id") < 100).select(
+        (F.col("doc_id") + 1000000).alias("doc_id"), "text")
+    return exact_duplicates(d.unionByName(planted), "doc_id", "text").select(
+        "text_hash", "n_dups", "representative")
+
+
+def _dedup_ngram_jaccard(spark, sf_dir):
+    d = _t(spark, sf_dir, "documents")
+    return ngram_jaccard_pairs(d, "doc_id", "text", n=3, threshold=0.1,
+                               max_shingle_df=None)
+
+
+def _dedup_simhash(spark, sf_dir):
+    d = _t(spark, sf_dir, "documents")
+    return simhash_df(d, "doc_id", "text").select(
+        F.col("id").alias("doc_id"), "simhash")
+
+
+def _sim_cosine_topk(spark, sf_dir):
+    e = _t(spark, sf_dir, "embeddings")
+    return cosine_topk(e, e.filter(F.col("vec_id") < 10), k=5)
+
+
+def _sim_near_dups(spark, sf_dir):
+    e = _t(spark, sf_dir, "embeddings")
+    a = e.select(F.col("vec_id").alias("left_id"),
+                 F.col("embedding").alias("va"))
+    b = e.select(F.col("vec_id").alias("right_id"),
+                 F.col("embedding").alias("vb"))
+    return (
+        a.join(b, F.col("left_id") < F.col("right_id"))
+        .withColumn("cosine", F.round(cosine(F.col("va"), F.col("vb")), 6))
+        .filter(F.col("cosine") >= 0.45)
+        .select("left_id", "right_id", "cosine")
+    )
+
+
+def _text_stats(spark, sf_dir):
+    d = _t(spark, sf_dir, "documents")
+    return d.select(
+        "doc_id",
+        token_count_ws(F.col("text")).alias("n_ws"),
+        token_count_bpe(F.col("text")).alias("n_bpe"),
+        lang_id(F.col("text")).alias("lang_guess"),
+        quality_score(F.col("text")).alias("quality"),
+        fingerprint(F.col("text")).alias("fp"),
+    )
+
+
+def _mm_frame_plan(spark, sf_dir):
+    d = _t(spark, sf_dir, "documents").filter(F.col("doc_id") % 7 == 0)
+    dur = F.col("n_chars") * 10
+    return d.select(
+        "doc_id",
+        F.explode(F.sequence(F.lit(0), dur - 1, F.lit(500)))
+        .alias("frame_ts_ms"),
+    )
+
+
+def _cluster_cc(spark, sf_dir):
+    d = _t(spark, sf_dir, "documents")
+    edges = ngram_jaccard_pairs(d, "doc_id", "text", n=3, threshold=0.1,
+                                max_shingle_df=None).select(
+        F.col("left_id").alias("src"), F.col("right_id").alias("dst"))
+    return connected_components(edges).orderBy("doc_id")
+
+
+def _er_pipeline_matches(spark, sf_dir):
+    """Full ER pipeline matches (blocking union + iterator-UDF scoring).
+    Not SQL-expressible as one query -> rows-only check."""
+    from ditto_spark.plans.pipeline import PipelineConfig, run_pipeline
+
+    docs = _spans_docs(spark, sf_dir).select(
+        F.col("doc_id").cast("string").alias("doc_id"), "spans")
+    out = run_pipeline(spark, docs, PipelineConfig(sn_window=2))
+    return out["scored"].select("left_id", "right_id", "match",
+                                F.round("match_confidence", 6)
+                                .alias("match_confidence"))
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2.
+    return {
+        "q1_pricing_summary": _q1_pricing_summary,
+        "q3_top_unshipped": _q3_top_unshipped,
+        "q5_region_revenue": _q5_region_revenue,
+        "q_window_top_suppliers": _q_window_top_suppliers,
+        "q_rollup_orders": _q_rollup_orders,
+        "q_semi_customers": _q_semi_customers,
+        "q_anti_customers": _q_anti_customers,
+        "q_distinct_priority": _q_distinct_priority,
+        "q_events_daily": _q_events_daily,
+        "q_events_sessions": _q_events_sessions,
+        "q_events_json": _q_events_json,
+        "er_serialize": _er_serialize,
+        "er_blocking_key_pairs": _er_blocking_key_pairs,
+        "er_sorted_neighborhood": _er_sorted_neighborhood,
+        "er_minhash": _er_minhash,
+        "dedup_exact": _dedup_exact,
+        "dedup_ngram_jaccard": _dedup_ngram_jaccard,
+        "dedup_simhash": _dedup_simhash,
+        "sim_cosine_topk": _sim_cosine_topk,
+        "sim_near_dups": _sim_near_dups,
+        "text_stats": _text_stats,
+        "mm_frame_plan": _mm_frame_plan,
+        "cluster_cc": _cluster_cc,
+        "er_pipeline_matches": _er_pipeline_matches,
+    }
 
-    Each callable takes (spark, sf_dir) and returns a DataFrame.
-    Alias every computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+
+# ---------------------------------------------------------------------------
+# DuckDB oracles
+# ---------------------------------------------------------------------------
+
+_REV = ("CAST(SUM(CAST(l_extendedprice AS DECIMAL(38,6)) * "
+        "CAST(1 - l_discount AS DECIMAL(38,6))) AS DOUBLE)")
+
+_TOKS = ("list_filter(string_split_regex(lower(trim(text)), '\\s+'), "
+         "x -> x != '')")
+
+_SHINGLES = (
+    "list_distinct(list_transform(range(greatest(len(w)-3,0)+1), "
+    "i -> array_to_string(w[i+1:i+3], ' ')))"
+)
+
+
+def _lang_sql() -> str:
+    def hits(lang):
+        words = ", ".join(f"'{w}'" for w in LANG_PROFILES[lang])
+        return (f"len(list_intersect(list_distinct({_TOKS}), [{words}]))")
+
+    return (
+        f"CASE WHEN {hits('en')} = 0 AND {hits('es')} = 0 AND "
+        f"{hits('fr')} = 0 AND {hits('de')} = 0 THEN 'und' "
+        f"WHEN {hits('en')} >= {hits('es')} AND {hits('en')} >= {hits('fr')} "
+        f"AND {hits('en')} >= {hits('de')} THEN 'en' "
+        f"WHEN {hits('es')} >= {hits('fr')} AND {hits('es')} >= {hits('de')} "
+        f"THEN 'es' "
+        f"WHEN {hits('fr')} >= {hits('de')} THEN 'fr' ELSE 'de' END"
+    )
+
+
+def _quality_sql() -> str:
+    en = ", ".join(f"'{w}'" for w in LANG_PROFILES["en"])
+    n_words = f"len({_TOKS})"
+    n_chars = "length(text)"
+    n_punct = r"len(regexp_extract_all(text, '[^\w\s]'))"
+    n_stop = f"len(list_intersect(list_distinct({_TOKS}), [{en}]))"
+    wl = (f"CASE WHEN {n_words} > 0 THEN "
+          f"CAST({n_chars} - ({n_words} - 1) AS DOUBLE) / {n_words} "
+          f"ELSE 0.0 END")
+    return (
+        f"round(0.4 * (CASE WHEN {n_words} >= 5 AND {n_words} <= 10000 "
+        f"THEN 1.0 ELSE 0.3 END) "
+        f"+ 0.2 * (CASE WHEN {n_stop} >= 2 THEN 1.0 ELSE 0.5 END) "
+        f"+ 0.2 * (CASE WHEN ({wl}) >= 2.0 AND ({wl}) <= 12.0 "
+        f"THEN 1.0 ELSE 0.4 END) "
+        f"+ 0.2 * (CASE WHEN CAST({n_punct} AS DOUBLE) / {n_chars} <= 0.2 "
+        f"THEN 1.0 ELSE 0.6 END), 6)"
+    )
+
+
+_COS = (
+    "round(list_sum(list_transform(list_zip(a.embedding, b.embedding), "
+    "z -> z[1]::DOUBLE * z[2]::DOUBLE)) / "
+    "(sqrt(list_sum(list_transform(a.embedding, x -> x::DOUBLE*x::DOUBLE))) "
+    "* sqrt(list_sum(list_transform(b.embedding, x -> x::DOUBLE*x::DOUBLE)))"
+    "), 6)"
+)
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    ph_tok = porthash_sql("tok")
+    return {
+        "q1_pricing_summary": f"""
+            SELECT l_returnflag, l_linestatus,
+                   CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE)
+                     AS sum_qty,
+                   CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE)
+                     AS sum_base_price,
+                   {_REV} AS sum_disc_price,
+                   COUNT(*) AS count_order
+            FROM lineitem WHERE l_shipdate <= TIMESTAMP '1999-12-01'
+            GROUP BY 1, 2 ORDER BY 1, 2
+        """,
+        "q3_top_unshipped": f"""
+            SELECT l.l_orderkey, o.o_orderdate, {_REV} AS revenue
+            FROM lineitem l
+            JOIN orders o ON l.l_orderkey = o.o_orderkey
+            JOIN customer c ON o.o_custkey = c.c_custkey
+            WHERE c.c_mktsegment = 'BUILDING'
+              AND o.o_orderdate < TIMESTAMP '1998-01-01'
+              AND l.l_shipdate > TIMESTAMP '1998-01-01'
+            GROUP BY 1, 2 ORDER BY revenue DESC, l_orderkey ASC LIMIT 10
+        """,
+        "q5_region_revenue": f"""
+            SELECT n.n_name, {_REV} AS revenue
+            FROM lineitem l
+            JOIN orders o ON l.l_orderkey = o.o_orderkey
+            JOIN customer c ON o.o_custkey = c.c_custkey
+            JOIN supplier s ON l.l_suppkey = s.s_suppkey
+                           AND c.c_nationkey = s.s_nationkey
+            JOIN nation n ON c.c_nationkey = n.n_nationkey
+            JOIN region r ON n.n_regionkey = r.r_regionkey
+            WHERE r.r_name = 'ASIA'
+            GROUP BY 1 ORDER BY revenue DESC, n_name ASC
+        """,
+        "q_window_top_suppliers": """
+            WITH ranked AS (
+              SELECT s_nationkey, s_name,
+                     CAST(s_acctbal AS DOUBLE) AS acctbal,
+                     ROW_NUMBER() OVER (PARTITION BY s_nationkey
+                       ORDER BY s_acctbal DESC, s_suppkey ASC) AS rnk
+              FROM supplier)
+            SELECT n.n_name, r.s_name, r.acctbal, r.rnk
+            FROM ranked r JOIN nation n ON r.s_nationkey = n.n_nationkey
+            WHERE r.rnk <= 3 ORDER BY n_name, rnk
+        """,
+        "q_rollup_orders": """
+            SELECT o_orderstatus, o_orderpriority, COUNT(*) AS n_orders,
+                   CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
+                     AS total_price
+            FROM orders GROUP BY ROLLUP (o_orderstatus, o_orderpriority)
+        """,
+        "q_semi_customers": """
+            SELECT c_custkey, c_name FROM customer c
+            WHERE EXISTS (SELECT 1 FROM orders o
+                          WHERE o.o_custkey = c.c_custkey)
+        """,
+        "q_anti_customers": """
+            SELECT c_custkey, c_name FROM customer c
+            WHERE NOT EXISTS (SELECT 1 FROM orders o
+                              WHERE o.o_custkey = c.c_custkey)
+        """,
+        "q_distinct_priority": """
+            SELECT o_orderpriority, COUNT(DISTINCT o_custkey) AS n_customers,
+                   COUNT(*) AS n_orders
+            FROM orders GROUP BY 1
+        """,
+        "q_events_daily": """
+            SELECT date_trunc('day', ts) AS day, event_type,
+                   COUNT(*) AS n_events,
+                   CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE)
+                     AS sum_value
+            FROM events GROUP BY 1, 2
+        """,
+        "q_events_sessions": """
+            WITH g AS (
+              SELECT user_id,
+                     CASE WHEN epoch(ts) - epoch(LAG(ts) OVER
+                       (PARTITION BY user_id ORDER BY ts, event_id)) > 1800
+                       OR LAG(ts) OVER (PARTITION BY user_id
+                         ORDER BY ts, event_id) IS NULL
+                     THEN 1 ELSE 0 END AS is_new
+              FROM events)
+            SELECT user_id, CAST(SUM(is_new) AS BIGINT) AS n_sessions,
+                   COUNT(*) AS n_events
+            FROM g GROUP BY 1
+        """,
+        "q_events_json": """
+            SELECT event_type,
+                   CAST(SUM(CAST(json_extract_string(props, '$.k') AS INT))
+                        AS BIGINT) AS sum_k,
+                   MAX(CAST(json_extract_string(props, '$.k') AS INT))
+                     AS max_k,
+                   COUNT(*) AS n
+            FROM events GROUP BY 1
+        """,
+        "er_serialize": """
+            SELECT doc_id,
+                   'COL title VAL ' || source || ' COL body VAL ' ||
+                   trim(text) ||
+                   CASE WHEN doc_id % 5 = 0
+                        THEN ' COL media VAL [MEDIA] img://corpus/' ||
+                             doc_id || '.jpg'
+                        ELSE '' END AS serialized
+            FROM documents
+        """,
+        "er_blocking_key_pairs": """
+            WITH keyed AS (
+              SELECT doc_id, lang || '_' || source AS block_key,
+                     ROW_NUMBER() OVER (PARTITION BY lang || '_' || source
+                       ORDER BY doc_id) AS rk
+              FROM documents
+              WHERE lang || '_' || source IS NOT NULL
+                AND lang || '_' || source != ''),
+            capped AS (SELECT * FROM keyed WHERE rk <= 50)
+            SELECT a.doc_id AS left_id, b.doc_id AS right_id, a.block_key
+            FROM capped a JOIN capped b
+              ON a.block_key = b.block_key AND a.doc_id < b.doc_id
+        """,
+        "er_sorted_neighborhood": """
+            WITH ranked AS (
+              SELECT doc_id, ROW_NUMBER() OVER
+                (ORDER BY lower(text), doc_id) AS rn
+              FROM documents)
+            SELECT LEAST(a.doc_id, b.doc_id) AS left_id,
+                   GREATEST(a.doc_id, b.doc_id) AS right_id
+            FROM ranked a JOIN ranked b
+              ON b.rn - a.rn BETWEEN 1 AND 2
+        """,
+        "er_minhash": f"""
+            WITH tok AS (
+              SELECT doc_id, unnest(list_distinct({_TOKS})) AS tok
+              FROM documents)
+            SELECT doc_id,
+                   MIN({porthash_seed_sql('tok', 0)}) AS h0,
+                   MIN({porthash_seed_sql('tok', 1)}) AS h1,
+                   MIN({porthash_seed_sql('tok', 2)}) AS h2,
+                   MIN({porthash_seed_sql('tok', 3)}) AS h3
+            FROM tok GROUP BY doc_id
+        """,
+        "dedup_exact": """
+            WITH u AS (
+              SELECT doc_id, text FROM documents
+              UNION ALL
+              SELECT doc_id + 1000000, text FROM documents
+              WHERE doc_id < 100)
+            SELECT md5(text) AS text_hash, COUNT(*) AS n_dups,
+                   MIN(doc_id) AS representative
+            FROM u GROUP BY 1 HAVING COUNT(*) > 1
+        """,
+        "dedup_ngram_jaccard": f"""
+            WITH d AS (SELECT doc_id, {_TOKS} AS w FROM documents),
+            sh AS (SELECT doc_id, {_SHINGLES} AS s FROM d),
+            ex AS (SELECT doc_id, len(s) AS n, unnest(s) AS shingle FROM sh),
+            pairs AS (
+              SELECT a.doc_id AS left_id, b.doc_id AS right_id,
+                     a.n AS na, b.n AS nb, COUNT(*) AS common
+              FROM ex a JOIN ex b
+                ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+              GROUP BY 1, 2, 3, 4)
+            SELECT left_id, right_id,
+                   round(CAST(common AS DOUBLE) / (na + nb - common), 6)
+                     AS jaccard
+            FROM pairs
+            WHERE round(CAST(common AS DOUBLE) / (na + nb - common), 6)
+                  >= 0.1
+        """,
+        "dedup_simhash": f"""
+            WITH tok AS (
+              SELECT doc_id, unnest({_TOKS}) AS tok FROM documents),
+            h AS (SELECT doc_id, {ph_tok} AS hv FROM tok),
+            bits AS (
+              SELECT doc_id, b,
+                     SUM(CASE WHEN (hv >> b) & 1 = 1 THEN 1 ELSE -1 END) AS v
+              FROM h CROSS JOIN (SELECT unnest(range(32)) AS b)
+              GROUP BY 1, 2)
+            SELECT doc_id,
+                   CAST(SUM(CASE WHEN v > 0 THEN (1::BIGINT << b)
+                            ELSE 0 END) AS BIGINT) AS simhash
+            FROM bits GROUP BY 1
+        """,
+        "sim_cosine_topk": f"""
+            WITH scored AS (
+              SELECT a.vec_id AS query_id, b.vec_id AS neighbor_id,
+                     {_COS} AS cosine
+              FROM embeddings a JOIN embeddings b
+                ON a.vec_id != b.vec_id
+              WHERE a.vec_id < 10),
+            ranked AS (
+              SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+                ORDER BY cosine DESC, neighbor_id ASC) AS rank
+              FROM scored)
+            SELECT query_id, neighbor_id, cosine, rank
+            FROM ranked WHERE rank <= 5
+        """,
+        "sim_near_dups": f"""
+            SELECT a.vec_id AS left_id, b.vec_id AS right_id,
+                   {_COS} AS cosine
+            FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+            WHERE {_COS} >= 0.45
+        """,
+        "text_stats": f"""
+            SELECT doc_id,
+                   len({_TOKS}) AS n_ws,
+                   len(regexp_extract_all(text,
+                     '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]')) AS n_bpe,
+                   {_lang_sql()} AS lang_guess,
+                   {_quality_sql()} AS quality,
+                   (SELECT CAST(SUM(({porthash_sql('t.tok')} % {FP_MOD})
+                                    * t.i) % {FP_MOD} AS BIGINT)
+                    FROM (SELECT unnest({_TOKS}) AS tok,
+                                 generate_subscripts({_TOKS}, 1) AS i) t)
+                     AS fp
+            FROM documents
+        """,
+        "mm_frame_plan": """
+            SELECT doc_id, unnest(generate_series(0, n_chars * 10 - 1, 500))
+                     AS frame_ts_ms
+            FROM documents WHERE doc_id % 7 = 0
+        """,
+        "cluster_cc": f"""
+            WITH RECURSIVE
+            d AS (SELECT doc_id, {_TOKS} AS w FROM documents),
+            sh AS (SELECT doc_id, {_SHINGLES} AS s FROM d),
+            ex AS (SELECT doc_id, len(s) AS n, unnest(s) AS shingle FROM sh),
+            pairs AS (
+              SELECT a.doc_id AS l, b.doc_id AS r,
+                     a.n AS na, b.n AS nb, COUNT(*) AS common
+              FROM ex a JOIN ex b
+                ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+              GROUP BY 1, 2, 3, 4),
+            edges AS (
+              SELECT l, r FROM pairs
+              WHERE round(CAST(common AS DOUBLE) / (na + nb - common), 6)
+                    >= 0.1),
+            und AS (SELECT l AS a, r AS b FROM edges
+                    UNION SELECT r, l FROM edges),
+            reach(a, b) AS (
+              SELECT a, b FROM und
+              UNION
+              SELECT reach.a, und.b FROM reach
+              JOIN und ON reach.b = und.a),
+            comp AS (
+              SELECT a AS doc_id, LEAST(MIN(b), a) AS entity_id
+              FROM reach GROUP BY a)
+            SELECT doc_id, entity_id FROM comp ORDER BY doc_id
+        """,
+        # er_pipeline_matches: intentionally no oracle (iterator-UDF model
+        # scoring + multi-pass LSH blocking is not one SQL query); the
+        # driver records the weaker rows-only check.
+    }

@@ -1,0 +1,144 @@
+"""Benchmark harness. Prints ONE JSON line:
+
+  {"metric": "...", "value": <total sec>, "unit": "sec",
+   "queries": {name: sec, ...}, "sf": <sf>, ...extras}
+
+Env: SPARK_GRAFT_SF_DIR (default /root/testdata/sf0.1),
+     SPARK_GRAFT_CPUS   (default 32).
+
+  python bench.py            # headline queries at $SPARK_GRAFT_CPUS
+  python bench.py --scaling  # ER-pipeline throughput at 8 vs 32 cores
+                             # (the north_rule N-vs-4N evidence), appends
+                             # results to BENCH.md
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+CPUS = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+
+HEADLINE = [
+    "q1_pricing_summary",
+    "q3_top_unshipped",
+    "q5_region_revenue",
+    "q_window_top_suppliers",
+    "q_events_sessions",
+    "er_serialize",
+    "er_blocking_key_pairs",
+    "er_sorted_neighborhood",
+    "er_minhash",
+    "dedup_exact",
+    "dedup_ngram_jaccard",
+    "dedup_simhash",
+    "sim_cosine_topk",
+    "text_stats",
+    "cluster_cc",
+    "er_pipeline_matches",
+]
+
+
+def _materialize(df) -> None:
+    """Force full computation (count() can prune; noop sink cannot)."""
+    df.write.format("noop").mode("overwrite").save()
+
+
+def run_headline() -> dict:
+    import __spark_entry__ as entrymod
+    from ditto_spark.session import get_spark
+
+    spark = get_spark("bench", cores=CPUS, shuffle_partitions=CPUS)
+    qs = entrymod.queries()
+    # warm the JVM/codegen paths once with a trivial job
+    spark.range(1000).select("id").write.format("noop").mode(
+        "overwrite").save()
+    times: dict[str, float] = {}
+    for name in HEADLINE:
+        t0 = time.monotonic()
+        _materialize(qs[name](spark, SF_DIR))
+        times[name] = round(time.monotonic() - t0, 3)
+    sf = 0.1 if "sf0.1" in SF_DIR else (0.01 if "sf0.01" in SF_DIR else 0.001)
+    total = round(sum(times.values()), 3)
+    return {
+        "metric": "headline_queries_total_sec",
+        "value": total,
+        "unit": "sec",
+        "queries": times,
+        "sf": sf,
+        "cpus": CPUS,
+    }
+
+
+def _pipeline_throughput(cores: int, n_docs: int) -> float:
+    """docs/sec of the full ER DAG (serialize->block->score->cluster) on a
+    deterministic synthetic spans table, fresh session at `cores`."""
+    from pyspark.sql import SparkSession
+
+    from ditto_spark.plans.pipeline import PipelineConfig, run_pipeline
+    from ditto_spark.session import get_spark
+    from ditto_spark.synth import distributed_docs
+
+    active = SparkSession.getActiveSession()
+    if active is not None:
+        active.stop()
+    spark = get_spark(f"bench-scale-{cores}", cores=cores,
+                      shuffle_partitions=cores)
+    docs = distributed_docs(spark, n_docs, seed=11).localCheckpoint()
+    t0 = time.monotonic()
+    out = run_pipeline(spark, docs, PipelineConfig(sn_window=2))
+    out["entities"].write.format("noop").mode("overwrite").save()
+    dt = time.monotonic() - t0
+    spark.stop()
+    return n_docs / dt
+
+
+def run_scaling(n_docs: int = 20000) -> dict:
+    lo, hi = 8, 32
+    tp_lo = _pipeline_throughput(lo, n_docs)
+    tp_hi = _pipeline_throughput(hi, n_docs)
+    eff = (tp_hi / tp_lo) / (hi / lo)
+    result = {
+        "metric": "scaling_efficiency_8_to_32_cores",
+        "value": round(eff, 3),
+        "unit": "ratio",
+        "queries": {
+            f"pipeline_docs_per_sec_c{lo}": round(tp_lo, 1),
+            f"pipeline_docs_per_sec_c{hi}": round(tp_hi, 1),
+        },
+        "sf": n_docs,
+        "n_docs": n_docs,
+    }
+    lines = [
+        "",
+        f"## Scaling run ({time.strftime('%Y-%m-%d %H:%M:%S')})",
+        "",
+        f"Full ER pipeline (serialize -> block -> score -> cluster) on "
+        f"{n_docs} synthetic interleaved-spans docs:",
+        "",
+        "| cores | docs/sec |",
+        "| --- | --- |",
+        f"| {lo} | {tp_lo:.1f} |",
+        f"| {hi} | {tp_hi:.1f} |",
+        "",
+        f"Throughput scaling efficiency {lo}->{hi} cores: "
+        f"**{eff:.3f}** (target >= 0.8 per north_rule, measured as "
+        f"(T_{lo}/T_{hi})/{hi // lo} on identical input, matching "
+        f"shuffle partitions).",
+    ]
+    with open(os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                           "BENCH.md"), "a") as f:
+        f.write("\n".join(lines) + "\n")
+    return result
+
+
+if __name__ == "__main__":
+    if "--scaling" in sys.argv:
+        print(json.dumps(run_scaling()))
+    else:
+        print(json.dumps(run_headline()))

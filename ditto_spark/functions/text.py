@@ -1,0 +1,130 @@
+"""Text-analysis functions for large-scale training-data pipelines.
+
+Beyond the reference's operator set (its text handling stops at COL/VAL
+serialization + TF-IDF summarization), these are the document-corpus
+operations a 100TB pretraining pipeline needs: language ID, quality
+scoring, token counting, fingerprinting. Every function here is a native
+column expression (whole-stage codegen, zero Python) and each has an
+exact DuckDB-SQL twin in __spark_entry__.oracle_sql for the correctness
+gate.
+
+Determinism/portability notes:
+  * hashes use the portable md5-prefix bigint (operators/hashing.py);
+  * arithmetic stays far from int64 overflow (Spark 4 runs ANSI mode);
+  * tie-breaks are total orders.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+from ditto_spark.operators.hashing import porthash
+
+# small per-language stopword profiles (n-gram-heuristic lang ID)
+LANG_PROFILES: dict[str, list[str]] = {
+    "en": ["the", "and", "of", "to", "a", "in", "is", "it", "you", "that"],
+    "es": ["el", "la", "de", "que", "y", "en", "un", "es", "se", "no"],
+    "fr": ["le", "la", "de", "et", "les", "des", "un", "une", "est", "dans"],
+    "de": ["der", "die", "und", "das", "ist", "nicht", "ein", "mit", "wie",
+           "den"],
+}
+
+# word / number / single-symbol pieces — the BPE-ish pre-tokenizer regex
+BPE_RE = r"[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]"
+
+
+def ws_tokens(col: Column) -> Column:
+    """Whitespace tokens (lowercased), empties dropped."""
+    return F.filter(F.split(F.lower(F.trim(col)), r"\s+"),
+                    lambda t: t != F.lit(""))
+
+
+def token_count_ws(col: Column) -> Column:
+    return F.size(ws_tokens(col))
+
+
+def token_count_bpe(col: Column) -> Column:
+    """Count of BPE-ish pieces (letter runs / digit runs / single symbols)."""
+    return F.size(F.regexp_extract_all(col, F.lit(BPE_RE), 0))
+
+
+def lang_scores(col: Column) -> list[tuple[str, Column]]:
+    toks = F.array_distinct(ws_tokens(col))
+    return [
+        (lang, F.size(F.array_intersect(toks, F.array(*[F.lit(w) for w in words]))))
+        for lang, words in LANG_PROFILES.items()
+    ]
+
+
+def lang_id(col: Column) -> Column:
+    """argmax over language stopword-hit counts; deterministic tie-break
+    by profile order; 'und' (undetermined) when nothing hits."""
+    scores = lang_scores(col)
+    best_lang = F.lit("und")
+    best_score = F.lit(0)
+    # iterate reversed so earlier profiles win ties
+    for lang, score in reversed(scores):
+        take = score > best_score
+        best_lang = F.when(take, F.lit(lang)).otherwise(best_lang)
+        best_score = F.when(take, score).otherwise(best_score)
+    return best_lang
+
+
+def quality_features(col: Column) -> dict[str, Column]:
+    n_chars = F.length(col)
+    toks = ws_tokens(col)
+    n_words = F.size(toks)
+    n_punct = F.size(F.regexp_extract_all(col, F.lit(r"[^\w\s]"), 0))
+    n_stop = F.size(
+        F.array_intersect(
+            F.array_distinct(toks),
+            F.array(*[F.lit(w) for w in LANG_PROFILES["en"]]),
+        )
+    )
+    mean_word_len = F.when(
+        n_words > 0,
+        (n_chars - (n_words - 1)).cast("double") / n_words,
+    ).otherwise(F.lit(0.0))
+    return {
+        "n_chars": n_chars,
+        "n_words": n_words,
+        "punct_ratio": F.when(n_chars > 0,
+                              n_punct.cast("double") / n_chars
+                              ).otherwise(F.lit(0.0)),
+        "stopword_hits": n_stop,
+        "mean_word_len": mean_word_len,
+    }
+
+
+def quality_score(col: Column) -> Column:
+    """Heuristic quality in [0,1]: rewards mid-length docs with some
+    stopwords and low symbol noise (the C4/Gopher-style rule family,
+    reduced to a deterministic closed form)."""
+    f = quality_features(col)
+    len_ok = F.when((f["n_words"] >= 5) & (f["n_words"] <= 10000), 1.0
+                    ).otherwise(0.3)
+    stop_ok = F.when(f["stopword_hits"] >= 2, 1.0).otherwise(0.5)
+    wl = f["mean_word_len"]
+    wl_ok = F.when((wl >= 2.0) & (wl <= 12.0), 1.0).otherwise(0.4)
+    punct_pen = F.when(f["punct_ratio"] <= 0.2, 1.0).otherwise(0.6)
+    return F.round(0.4 * len_ok + 0.2 * stop_ok + 0.2 * wl_ok
+                   + 0.2 * punct_pen, 6)
+
+
+FP_MOD = 1_000_000_007
+
+
+def fingerprint(col: Column) -> Column:
+    """Order-sensitive document fingerprint: position-weighted sum of
+    portable word hashes mod 1e9+7 (a rolling-hash family member that is
+    exactly reproducible in SQL; overflow-safe under ANSI mode: each term
+    < 1e9 * n_words)."""
+    toks = ws_tokens(col)
+    idx = F.sequence(F.lit(1), F.size(toks))
+    terms = F.zip_with(
+        toks, idx,
+        lambda t, i: (porthash(t) % FP_MOD) * i,
+    )
+    return F.aggregate(terms, F.lit(0).cast("long"),
+                       lambda acc, x: acc + x) % FP_MOD

@@ -28,7 +28,7 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
-from ditto_spark.operators.hashing import porthash_seed
+from ditto_spark.operators.hashing import porthash, porthash_seed
 
 
 # ---------------------------------------------------------------------------
@@ -83,6 +83,7 @@ def key_blocking(
         w = Window.partitionBy("block_key").orderBy("id")
         keyed = (keyed.withColumn("_rk", F.row_number().over(w))
                  .filter(F.col("_rk") <= max_block_rows).drop("_rk"))
+    keyed = keyed.cache()  # feeds both sides of the self-join
     a = keyed.select(F.col("id").alias("left_id"),
                      F.col("txt").alias("left_text"), "block_key")
     b = keyed.select(F.col("id").alias("right_id"),
@@ -149,7 +150,8 @@ def sorted_neighborhood(
     ranked = global_rank(df.select(id_col, text_col), key, id_col=id_col
                          ).select(F.col(id_col).alias("id"),
                                   F.col(text_col).alias("txt"),
-                                  "rn", F.col("_k").alias("block_key"))
+                                  "rn", F.col("_k").alias("block_key")
+                                  ).cache()  # probe + target sides
     probes = ranked.select(
         F.col("id").alias("left_id"), F.col("txt").alias("left_text"),
         F.col("block_key"),
@@ -196,14 +198,46 @@ def shingles(tokens: Column, n: int = 3) -> Column:
     )
 
 
-def minhash_signature(sh: Column, n_hashes: int = 16) -> Column:
-    """MinHash signature: per seed, min over shingles of the seeded
-    portable hash — one native array expression per seed (no explode)."""
-    return F.array(
-        *[
-            F.array_min(F.transform(sh, lambda s: porthash_seed(s, i)))
-            for i in range(n_hashes)
-        ]
+MERSENNE31 = 2_147_483_647
+
+
+def _mh_params(n_hashes: int) -> tuple[list[int], list[int]]:
+    """Deterministic universal-hash coefficients (a odd, a/b < p)."""
+    import hashlib
+
+    a, b = [], []
+    for i in range(n_hashes):
+        h = int(hashlib.md5(f"mh{i}".encode()).hexdigest()[:15], 16)
+        a.append((h % (MERSENNE31 - 2)) | 1)
+        b.append((h >> 30) % MERSENNE31)
+    return a, b
+
+
+def shingle_base_hashes(sh: Column) -> Column:
+    """One portable hash per shingle, reduced mod 2^31-1 — the shared
+    base for all MinHash permutations. Materialize this as its own column
+    so the md5 pass runs once per row."""
+    return F.transform(sh, lambda s: porthash(s) % MERSENNE31)
+
+
+def minhash_signature(base_hashes: Column, n_hashes: int = 16) -> Column:
+    """MinHash signature via a universal hash family over precomputed
+    base hashes:  h_i(x) = (a_i * x + b_i) mod p,  p = 2^31-1.
+
+    Each permutation is two integer ops per shingle (vs n_hashes md5
+    passes); a_i * x < 2^62 so ANSI arithmetic never overflows."""
+    a_c, b_c = _mh_params(n_hashes)
+    a_arr = F.array(*[F.lit(x).cast("long") for x in a_c])
+    b_arr = F.array(*[F.lit(x).cast("long") for x in b_c])
+    return F.transform(
+        F.sequence(F.lit(0), F.lit(n_hashes - 1)),
+        lambda i: F.array_min(
+            F.transform(
+                base_hashes,
+                lambda h: (F.element_at(a_arr, i + 1) * h
+                           + F.element_at(b_arr, i + 1)) % MERSENNE31,
+            )
+        ),
     )
 
 
@@ -225,6 +259,64 @@ def band_keys(sig: Column, bands: int, rows_per_band: int) -> Column:
     )
 
 
+def minhash_band_buckets(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n_hashes: int = 16,
+    bands: int = 4,
+    shingle_n: int = 3,
+) -> DataFrame:
+    """(id, band_key) — one row per LSH band per doc, computed entirely
+    inside whole-stage codegen (no interpreted higher-order lambdas,
+    which cost ~10-100x on this hot path):
+
+      posexplode tokens -> xxhash64 -> window lead() to combine each
+      shingle's token hashes polynomially -> one groupBy(id) with
+      n_hashes min() aggregates (the MinHash signature) -> band keys.
+
+    The window and the aggregate share hashpartitioning(id): ONE shuffle
+    of (id, pos, hash) longs for the whole signature computation.
+    Duplicate shingles need no dedupe — they cannot change a min.
+    """
+    a_c, b_c = _mh_params(n_hashes)
+    rows = n_hashes // bands
+    toks = df.select(
+        F.col(id_col).alias("id"),
+        F.posexplode(tokenize(F.col(text_col))).alias("pos", "tok"),
+    ).withColumn("h", F.pmod(F.xxhash64("tok"), F.lit(MERSENNE31)))
+    w = Window.partitionBy("id").orderBy("pos")
+    shingled = toks
+    for j in range(1, shingle_n):
+        shingled = shingled.withColumn(f"_l{j}", F.lead("h", j).over(w))
+    sh = F.col("h")
+    for j in range(1, shingle_n):
+        sh = F.pmod(sh * F.lit(1_000_003)
+                    + F.coalesce(F.col(f"_l{j}"), F.lit(0)),
+                    F.lit(MERSENNE31))
+    shingled = shingled.withColumn("sh", sh)
+    if shingle_n > 1:
+        # complete shingles only; pos==0 kept so short docs still block
+        shingled = shingled.filter(
+            F.col(f"_l{shingle_n - 1}").isNotNull() | (F.col("pos") == 0)
+        )
+    aggs = [
+        F.min((F.lit(a_c[i]) * F.col("sh") + F.lit(b_c[i])) % MERSENNE31
+              ).alias(f"_h{i}")
+        for i in range(n_hashes)
+    ]
+    sig = shingled.groupBy("id").agg(*aggs)
+    bkeys = F.array(*[
+        F.concat_ws(
+            "_", F.lit(str(b)),
+            F.xxhash64(F.concat_ws(
+                ",", *[F.col(f"_h{b * rows + r}") for r in range(rows)])),
+        )
+        for b in range(bands)
+    ])
+    return sig.select("id", F.explode(bkeys).alias("block_key"))
+
+
 def minhash_lsh_blocking(
     df: DataFrame,
     id_col: str = "doc_id",
@@ -236,27 +328,24 @@ def minhash_lsh_blocking(
 ) -> DataFrame:
     """Candidate pairs whose MinHash signatures collide in >=1 band.
 
-    Spark plan: scan -> native signature expressions -> explode band keys
-    (x bands rows) -> bucket self-join (equi-join on band key) ->
-    dropDuplicates. Bucket size capped like key_blocking to bound the
+    Spark plan: codegen'd signature + band keys (minhash_band_buckets)
+    -> join texts back on id -> bucket self-join (equi-join on band key)
+    -> dropDuplicates. Bucket size capped like key_blocking to bound the
     quadratic worst case; at 100TB the bucket join shuffles once on the
-    band key and AQE handles stragglers.
+    band key and AQE handles stragglers and skew.
     """
-    rows = n_hashes // bands
-    sig = df.select(
-        F.col(id_col).alias("id"),
-        F.col(text_col).alias("txt"),
-        band_keys(
-            minhash_signature(shingles(tokenize(F.col(text_col)), shingle_n),
-                              n_hashes),
-            bands, rows,
-        ).alias("bkeys"),
-    )
-    buckets = sig.select("id", "txt", F.explode("bkeys").alias("block_key"))
+    keys = minhash_band_buckets(df, id_col, text_col, n_hashes, bands,
+                                shingle_n)
+    texts = df.select(F.col(id_col).alias("id"),
+                      F.col(text_col).alias("txt"))
+    buckets = keys.join(texts, "id")
     if max_bucket_rows is not None:
         w = Window.partitionBy("block_key").orderBy("id")
         buckets = (buckets.withColumn("_rk", F.row_number().over(w))
                    .filter(F.col("_rk") <= max_bucket_rows).drop("_rk"))
+    # the bucket table feeds both sides of the self-join: cache it so the
+    # signature computation runs once, not twice
+    buckets = buckets.cache()
     a = buckets.select(F.col("id").alias("left_id"),
                        F.col("txt").alias("left_text"), "block_key")
     b = buckets.select(F.col("id").alias("right_id"),

@@ -71,16 +71,29 @@ def connected_components(
     """edges(src, dst) -> (doc_id, entity_id) with entity_id = the
     component's minimum node id. Nodes appearing only as singletons must
     be handled by the caller (outer-join docs afterwards)."""
+    from ditto_spark.operators.hashing import porthash
+
+    def _fingerprint(e: DataFrame) -> tuple:
+        """(count, hash-sum) of the canonical edge set — one cheap agg
+        instead of union/subtract/intersect set algebra per iteration."""
+        row = _canon(e).agg(
+            F.count("*").alias("n"),
+            # mod keeps the sum far from int64 overflow (ANSI mode) even
+            # at billions of edges
+            F.sum(porthash(F.concat_ws("|", "src", "dst"))
+                  % 1_000_000_007).alias("h"),
+        ).first()
+        return (row["n"], row["h"])
+
     cur = _canon(edges).localCheckpoint(eager=True)
+    prev_fp = _fingerprint(cur)
     for _ in range(max_iter):
         nxt = _small_star(_large_star(cur)).localCheckpoint(eager=True)
-        # convergence check: canonical edge-set fingerprint (one cheap agg)
-        a = _canon(cur)
-        b = _canon(nxt)
-        changed = a.union(b).subtract(a.intersect(b)).limit(1).count()
+        fp = _fingerprint(nxt)
         cur = nxt
-        if changed == 0:
+        if fp == prev_fp:
             break
+        prev_fp = fp
     # converged edges are (component_min=src, member=dst) after _canon
     comp = _canon(cur)
     members = comp.select(F.col("dst").alias("doc_id"),

@@ -1,0 +1,240 @@
+"""Deduplication suite for training-data pipelines.
+
+The reference dedupes only via ER matching; a 100TB corpus pipeline also
+needs direct dedup operators. All of these are DataFrame-native and
+partition-friendly; the hash family is the portable md5-prefix bigint so
+each operator has an exact DuckDB oracle.
+
+  exact_duplicates       hash-groupBy on full text
+  ngram_jaccard_pairs    shared-shingle equi-join -> exact jaccard
+  minhash_signatures     n seeded min-hashes per doc (native array ops)
+  minhash_near_dups      LSH-bucket join + exact-jaccard verify
+  simhash                32-bit simhash from token hashes
+  simhash_near_dups      banded hamming-distance candidate join
+  embedding_near_dups    cosine >= threshold pair join (see similarity.py
+                         for the top-k/ANN path)
+
+Scale notes: every pair generator keys its join on a bounded-fanout key
+(shingle, LSH band, simhash band), shuffles once on that key, and caps
+or dedupes pair output; nothing materializes O(n^2).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from ditto_spark.operators.blocking import minhash_signature, shingles, tokenize
+from ditto_spark.operators.hashing import porthash, porthash_seed
+
+
+def exact_duplicates(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """Groups of byte-identical texts: (text_hash, n_dups, representative)
+    for groups with >1 member. One shuffle on the hash."""
+    return (
+        df.select(F.col(id_col).alias("id"),
+                  F.md5(F.col(text_col)).alias("text_hash"))
+        .groupBy("text_hash")
+        .agg(F.count("*").alias("n_dups"), F.min("id").alias("representative"))
+        .filter(F.col("n_dups") > 1)
+    )
+
+
+def ngram_jaccard_pairs(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    n: int = 3,
+    threshold: float = 0.5,
+    max_shingle_df: int | None = 1000,
+) -> DataFrame:
+    """Exact n-gram Jaccard similarity for every pair sharing >=1 shingle.
+
+    Plan: distinct shingles per doc -> explode -> (optionally drop
+    ultra-frequent shingles: bounded join fanout, same effect as stopword
+    removal) -> self-join on shingle -> count common per pair -> jaccard
+    from |A|,|B|,|A∩B|. Pairs below threshold are filtered before the
+    final projection.
+    """
+    sh = df.select(
+        F.col(id_col).alias("id"),
+        shingles(tokenize(F.col(text_col)), n).alias("sh"),
+    ).withColumn("n_sh", F.size("sh"))
+    ex = sh.select("id", "n_sh", F.explode("sh").alias("shingle"))
+    if max_shingle_df is not None:
+        heavy = (ex.groupBy("shingle").agg(F.count("*").alias("c"))
+                 .filter(F.col("c") > max_shingle_df).select("shingle"))
+        ex = ex.join(heavy, "shingle", "left_anti")
+    a = ex.select(F.col("id").alias("left_id"), F.col("n_sh").alias("na"),
+                  "shingle")
+    b = ex.select(F.col("id").alias("right_id"), F.col("n_sh").alias("nb"),
+                  "shingle")
+    common = (
+        a.join(b, "shingle")
+        .filter(F.col("left_id") < F.col("right_id"))
+        .groupBy("left_id", "right_id", "na", "nb")
+        .agg(F.count("*").alias("common"))
+    )
+    return (
+        common.withColumn(
+            "jaccard",
+            F.round(F.col("common").cast("double")
+                    / (F.col("na") + F.col("nb") - F.col("common")), 6),
+        )
+        .filter(F.col("jaccard") >= threshold)
+        .select("left_id", "right_id", "jaccard")
+    )
+
+
+def minhash_signatures(df: DataFrame, id_col: str, text_col: str,
+                       n_hashes: int = 16, n: int = 3) -> DataFrame:
+    """(id, sig array<long>) — native expressions, no explode."""
+    from ditto_spark.operators.blocking import shingle_base_hashes
+
+    return (
+        df.select(
+            F.col(id_col).alias("id"),
+            shingles(tokenize(F.col(text_col)), n).alias("_sh"))
+        .withColumn("_hs", shingle_base_hashes(F.col("_sh")))
+        .select("id", minhash_signature(F.col("_hs"), n_hashes).alias("sig"))
+    )
+
+
+def minhash_near_dups(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    n_hashes: int = 16,
+    bands: int = 4,
+    n: int = 3,
+    verify_threshold: float = 0.5,
+) -> DataFrame:
+    """MinHash-LSH candidates verified with exact jaccard: the standard
+    two-stage near-dup pipeline (candidate recall from banding, precision
+    from the exact check)."""
+    from ditto_spark.operators.blocking import minhash_lsh_blocking
+
+    cands = minhash_lsh_blocking(
+        df.select(F.col(id_col).alias("doc_id"),
+                  F.col(text_col).alias("text")),
+        n_hashes=n_hashes, bands=bands, shingle_n=n, max_bucket_rows=None,
+    )
+    sh = F.array_distinct(shingles(tokenize(F.col("left_text")), n))
+    sh2 = F.array_distinct(shingles(tokenize(F.col("right_text")), n))
+    return (
+        cands.withColumn("common", F.size(F.array_intersect(sh, sh2)))
+        .withColumn("union_", F.size(F.array_union(sh, sh2)))
+        .withColumn(
+            "jaccard",
+            F.round(F.col("common").cast("double") / F.col("union_"), 6))
+        .filter(F.col("jaccard") >= verify_threshold)
+        .select("left_id", "right_id", "jaccard")
+    )
+
+
+def simhash32(text_col: Column) -> Column:
+    """32-bit SimHash over whitespace tokens: bit b of the portable token
+    hash votes +1/-1; simhash bit = majority sign. Native expression
+    (32 conditional sums over one token array)."""
+    toks = tokenize(text_col)
+    hashes = F.transform(toks, lambda t: porthash(t))
+
+    def bit_vote(bit: int):
+        def merge(s, h):
+            return s + F.when(
+                F.shiftright(h, bit).bitwiseAND(F.lit(1)) == 1, 1
+            ).otherwise(-1)
+        return merge
+
+    acc = F.lit(0).cast("long")
+    for b in range(32):
+        votes = F.aggregate(hashes, F.lit(0).cast("long"), bit_vote(b))
+        acc = acc + F.when(votes > 0, F.lit(2 ** b).cast("long")
+                           ).otherwise(F.lit(0).cast("long"))
+    return acc
+
+
+def simhash_df(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """(id, simhash) via posexplode + one groupBy with 32 conditional-sum
+    aggregates — the whole-stage-codegen formulation of simhash32 (the
+    column-expression variant keeps the same math but pays interpreted
+    higher-order-function cost per token; use it only for small inputs)."""
+    toks = df.select(
+        F.col(id_col).alias("id"),
+        F.explode(tokenize(F.col(text_col))).alias("tok"),
+    ).withColumn("hv", porthash(F.col("tok")))
+    votes = [
+        F.sum(F.when(F.shiftright(F.col("hv"), b).bitwiseAND(F.lit(1)) == 1,
+                     1).otherwise(-1)).alias(f"_v{b}")
+        for b in range(32)
+    ]
+    agg = toks.groupBy("id").agg(*votes)
+    sim = None
+    for b in range(32):
+        term = F.when(F.col(f"_v{b}") > 0, F.lit(2 ** b).cast("long")
+                      ).otherwise(F.lit(0).cast("long"))
+        sim = term if sim is None else sim + term
+    return agg.select("id", sim.alias("simhash"))
+
+
+def simhash_near_dups(df: DataFrame, id_col: str, text_col: str,
+                      max_hamming: int = 3) -> DataFrame:
+    """Near-dups by simhash hamming distance <= k, using the 4x8-bit band
+    trick (pigeonhole: distance<=3 over 4 bands => >=1 band equal), so the
+    join is an equi-join on (band_idx, band_value), never a cross join."""
+    sh = simhash_df(df, id_col, text_col)
+    banded = sh.select(
+        "id", "simhash",
+        F.explode(
+            F.array(*[
+                F.struct(
+                    F.lit(i).alias("band_idx"),
+                    F.shiftright(F.col("simhash"), i * 8)
+                    .bitwiseAND(F.lit(255)).alias("band_val"),
+                )
+                for i in range(4)
+            ])
+        ).alias("band"),
+    ).select("id", "simhash", "band.band_idx", "band.band_val")
+    a = banded.select(F.col("id").alias("left_id"),
+                      F.col("simhash").alias("sh_l"), "band_idx", "band_val")
+    b = banded.select(F.col("id").alias("right_id"),
+                      F.col("simhash").alias("sh_r"), "band_idx", "band_val")
+    pairs = (
+        a.join(b, ["band_idx", "band_val"])
+        .filter(F.col("left_id") < F.col("right_id"))
+        .dropDuplicates(["left_id", "right_id"])
+    )
+    ham = F.bit_count(F.col("sh_l").bitwiseXOR(F.col("sh_r")))
+    return (
+        pairs.withColumn("hamming", ham)
+        .filter(F.col("hamming") <= max_hamming)
+        .select("left_id", "right_id", "hamming")
+    )
+
+
+def embedding_near_dups(
+    emb: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    threshold: float = 0.95,
+    left_filter: Column | None = None,
+) -> DataFrame:
+    """Pairs with cosine similarity >= threshold. Brute-force pair join —
+    correctness baseline; the LSH-bucketed scale path lives in
+    similarity.py. ``left_filter`` restricts the probe side (sampled
+    audits at scale)."""
+    from ditto_spark.operators.similarity import cosine
+
+    a = emb.select(F.col(id_col).alias("left_id"),
+                   F.col(vec_col).alias("va"))
+    if left_filter is not None:
+        a = a.filter(left_filter)
+    b = emb.select(F.col(id_col).alias("right_id"),
+                   F.col(vec_col).alias("vb"))
+    return (
+        a.join(b, F.col("left_id") < F.col("right_id"))
+        .withColumn("cosine", F.round(cosine(F.col("va"), F.col("vb")), 6))
+        .filter(F.col("cosine") >= threshold)
+        .select("left_id", "right_id", "cosine")
+    )

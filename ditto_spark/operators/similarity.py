@@ -1,0 +1,138 @@
+"""Similarity search over embedding columns (array<float>).
+
+The reference's embedding blocking (blocking/blocker.py:43-80) is an
+in-memory numpy matmul with top-k/threshold selection; these operators
+re-express it distributed:
+
+  cosine           native dot/norm expression (zip_with + aggregate)
+  cosine_topk      brute-force top-k per query (window rank) — exact
+                   baseline; one shuffle on query id
+  rp_lsh_buckets   random-hyperplane LSH bucket ids (deterministic ±1
+                   projections from the portable hash — reproducible in
+                   SQL, no stored projection matrix)
+  ann_topk_lsh     bucketed approximate top-k: probe joins only its
+                   bucket, then exact cosine + rank inside the bucket
+
+Scale design: brute force is O(Q x N) — fine for sampled audits; the LSH
+path shuffles once on bucket id and bounds per-bucket fanout, which is
+the 100TB-shaped plan (bucket count scales with N, probes hit one
+bucket; multi-probe = explode neighbor buckets).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+from ditto_spark.operators.hashing import porthash
+
+
+def dot(a: Column, b: Column) -> Column:
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x.cast("double") * y.cast("double")),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+
+
+def norm(a: Column) -> Column:
+    return F.sqrt(
+        F.aggregate(
+            F.transform(a, lambda x: x.cast("double") * x.cast("double")),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        )
+    )
+
+
+def cosine(a: Column, b: Column) -> Column:
+    return dot(a, b) / (norm(a) * norm(b))
+
+
+def cosine_topk(
+    emb: DataFrame,
+    queries: DataFrame,
+    k: int = 10,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Exact top-k neighbors per query (excluding self): the distributed
+    form of blocker.py:67-72's argpartition. Join fanout Q x N, ranked by
+    a window partitioned on the query id (repartition on query id comes
+    free from the shuffle)."""
+    q = queries.select(F.col(id_col).alias("query_id"),
+                       F.col(vec_col).alias("qv"))
+    c = emb.select(F.col(id_col).alias("neighbor_id"),
+                   F.col(vec_col).alias("nv"))
+    scored = (
+        q.join(c, F.col("query_id") != F.col("neighbor_id"))
+        .withColumn("cosine", F.round(cosine(F.col("qv"), F.col("nv")), 6))
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.desc("cosine"), F.asc("neighbor_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "cosine", "rank")
+    )
+
+
+def _sign(seed: int, dim_idx: Column) -> Column:
+    """Deterministic ±1 from the portable hash of (seed, dim)."""
+    return F.when(
+        porthash(F.concat(F.lit(f"rp{seed}_"), dim_idx.cast("string")))
+        % 2 == 0,
+        F.lit(1.0),
+    ).otherwise(F.lit(-1.0))
+
+
+def rp_projection(vec: Column, seed: int) -> Column:
+    """Signed random-hyperplane projection: sum_i v[i] * sign(seed, i)."""
+    idx = F.sequence(F.lit(0), F.size(vec) - 1)
+    terms = F.zip_with(vec, idx,
+                       lambda v, i: v.cast("double") * _sign(seed, i))
+    return F.aggregate(terms, F.lit(0.0), lambda acc, x: acc + x)
+
+
+def rp_lsh_buckets(emb: DataFrame, n_bits: int = 8,
+                   id_col: str = "vec_id",
+                   vec_col: str = "embedding") -> DataFrame:
+    """(id, bucket int) — bucket = sign bits of n_bits projections."""
+    bucket = F.lit(0)
+    for b in range(n_bits):
+        bucket = bucket + F.when(
+            rp_projection(F.col(vec_col), b) > 0, F.lit(2 ** b)
+        ).otherwise(F.lit(0))
+    return emb.select(F.col(id_col).alias("id"),
+                      F.col(vec_col).alias("vec"),
+                      bucket.alias("bucket"))
+
+
+def ann_topk_lsh(
+    emb: DataFrame,
+    queries: DataFrame,
+    k: int = 10,
+    n_bits: int = 8,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Approximate top-k: probes join only their own LSH bucket, exact
+    cosine re-rank inside. Recall < 1 by construction (single-probe);
+    union more probe buckets for higher recall."""
+    base = rp_lsh_buckets(emb, n_bits, id_col, vec_col)
+    probes = rp_lsh_buckets(queries, n_bits, id_col, vec_col).select(
+        F.col("id").alias("query_id"), F.col("vec").alias("qv"), "bucket")
+    cands = probes.join(
+        base.select(F.col("id").alias("neighbor_id"),
+                    F.col("vec").alias("nv"), "bucket"),
+        "bucket",
+    ).filter(F.col("query_id") != F.col("neighbor_id"))
+    scored = cands.withColumn(
+        "cosine", F.round(cosine(F.col("qv"), F.col("nv")), 6))
+    w = Window.partitionBy("query_id").orderBy(
+        F.desc("cosine"), F.asc("neighbor_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "cosine", "rank")
+    )

@@ -1,0 +1,90 @@
+"""Multimodal plumbing + structured-streaming ingest."""
+
+from __future__ import annotations
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from ditto_spark.operators.multimodal import (
+    extract_features,
+    fake_image_decoder,
+    frame_sample_plan,
+    strict_decoder,
+    synth_media,
+)
+
+
+def test_extract_features_plumbing(spark):
+    media = synth_media(spark, n=30)
+    feats = extract_features(media, decoder=fake_image_decoder)
+    rows = feats.collect()
+    assert len(rows) == 30
+    for r in rows:
+        assert r.n_bytes > 0
+        assert len(r.feature) == 8
+    # deterministic: same payload -> same feature, across partitionings
+    feats2 = extract_features(media.repartition(7), decoder=fake_image_decoder)
+    a = {r.media_id: r.feature for r in rows}
+    b = {r.media_id: r.feature for r in feats2.collect()}
+    assert a == b
+
+
+def test_strict_decoder_is_marked_stub():
+    with pytest.raises(NotImplementedError):
+        strict_decoder(b"\x00", "image")
+
+
+def test_frame_sample_plan_metadata_only(spark, tmp_path):
+    path = str(tmp_path / "media")
+    synth_media(spark, n=9).write.parquet(path)
+    media = spark.read.parquet(path)
+    plan = frame_sample_plan(media, every_ms=1000)
+    rows = plan.collect()
+    # 3 videos x (0,1000,...,4999 step 1000) = 3 x 5
+    assert len(rows) == 15
+    # column pruning: the parquet scan must not read the binary payload
+    explain = plan._jdf.queryExecution().executedPlan().toString()
+    read_schema = [ln for ln in explain.splitlines() if "ReadSchema" in ln]
+    assert read_schema and "content" not in read_schema[0]
+
+
+def test_streaming_dedup_and_metrics(spark, tmp_path):
+    from ditto_spark.streaming.ingest import (
+        dedup_stream,
+        read_doc_stream,
+        run_to_sink,
+        windowed_ingest_metrics,
+    )
+
+    src = str(tmp_path / "in")
+    # two files, overlapping content
+    from datetime import datetime
+
+    d1 = [("a", [("t", "hello world", None, 0)], datetime(2024, 1, 1, 0, 0, 10)),
+          ("b", [("t", "hello world", None, 0)], datetime(2024, 1, 1, 0, 0, 20)),
+          ("c", [("t", "unique one", None, 0)], datetime(2024, 1, 1, 0, 1, 30))]
+    schema = ("doc_id string, spans array<struct<kind:string,text:string,"
+              "media_ref:string,offset:int>>, ingest_ts timestamp")
+    spark.createDataFrame(d1, schema).write.mode("append").parquet(src)
+
+    deduped = dedup_stream(read_doc_stream(spark, src))
+    out1 = str(tmp_path / "out1")
+    run_to_sink(deduped, out1, str(tmp_path / "ck1"))
+    got = spark.read.parquet(out1)
+    assert got.count() == 2  # a/b collapse
+    assert {r.doc_id for r in got.collect()} <= {"a", "b", "c"}
+
+    metrics = windowed_ingest_metrics(read_doc_stream(spark, src))
+    out2 = str(tmp_path / "out2")
+    run_to_sink(metrics, out2, str(tmp_path / "ck2"), mode="append")
+    m = {str(r.window_start): (r.docs, r.approx_distinct)
+         for r in spark.read.parquet(out2).collect()}
+    # append mode emits only watermark-closed windows; with availableNow
+    # over one batch nothing closes — accept either 0 or the 2 windows
+    assert len(m) in (0, 2)
+
+    # restart resumes from checkpoint: draining again adds nothing new
+    run_to_sink(dedup_stream(read_doc_stream(spark, src)), out1,
+                str(tmp_path / "ck1"))
+    assert spark.read.parquet(out1).count() == 2

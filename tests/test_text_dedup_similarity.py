@@ -1,0 +1,169 @@
+"""Text functions, dedup suite, similarity search."""
+
+from __future__ import annotations
+
+import math
+
+from pyspark.sql import functions as F
+
+from ditto_spark.functions.text import (
+    FP_MOD,
+    fingerprint,
+    lang_id,
+    quality_score,
+    token_count_bpe,
+    token_count_ws,
+)
+from ditto_spark.operators.dedup import (
+    embedding_near_dups,
+    exact_duplicates,
+    minhash_near_dups,
+    ngram_jaccard_pairs,
+    simhash_df,
+    simhash_near_dups,
+)
+from ditto_spark.operators.similarity import ann_topk_lsh, cosine, cosine_topk
+
+
+def test_token_counts_and_lang(spark):
+    df = spark.createDataFrame(
+        [("the cat and the dog, it is big!",),
+         ("el perro y la casa que no es",),
+         ("zzz qqq",)],
+        "text string",
+    )
+    rows = df.select(
+        token_count_ws(F.col("text")).alias("ws"),
+        token_count_bpe(F.col("text")).alias("bpe"),
+        lang_id(F.col("text")).alias("lang"),
+    ).collect()
+    assert rows[0].ws == 8
+    # the|cat|and|the|dog|,|it|is|big|! -> 10 pieces
+    assert rows[0].bpe == 10
+    assert rows[0].lang == "en"
+    assert rows[1].lang == "es"
+    assert rows[2].lang == "und"
+
+
+def test_quality_and_fingerprint_deterministic(spark):
+    df = spark.createDataFrame(
+        [("d1", "the quick brown fox jumps over the lazy dog"),
+         ("d2", "!!!! ???? ....")],
+        "id string, text string",
+    )
+    rows = {r.id: r for r in df.select(
+        "id",
+        quality_score(F.col("text")).alias("q"),
+        fingerprint(F.col("text")).alias("fp"),
+    ).collect()}
+    assert rows["d1"].q > rows["d2"].q
+    assert 0 <= rows["d1"].fp < FP_MOD
+    # order sensitivity
+    df2 = spark.createDataFrame([("dog lazy the over jumps fox brown quick the",)],
+                                "text string")
+    fp2 = df2.select(fingerprint(F.col("text")).alias("fp")).first().fp
+    assert fp2 != rows["d1"].fp
+
+
+def test_exact_duplicates(spark):
+    df = spark.createDataFrame(
+        [("a", "same text"), ("b", "same text"), ("c", "other")],
+        "id string, text string",
+    )
+    got = exact_duplicates(df, "id", "text").collect()
+    assert len(got) == 1
+    assert got[0].n_dups == 2 and got[0].representative == "a"
+
+
+def test_ngram_jaccard_pairs(spark):
+    df = spark.createDataFrame(
+        [("a", "one two three four five"),
+         ("b", "one two three four six"),
+         ("c", "totally different words here now")],
+        "id string, text string",
+    )
+    got = {(r.left_id, r.right_id): r.jaccard
+           for r in ngram_jaccard_pairs(df, "id", "text", n=3,
+                                        threshold=0.2).collect()}
+    # shingles(a) = {one two three, two three four, three four five}
+    # shingles(b) = {one two three, two three four, three four six}
+    # jaccard = 2/4 = 0.5
+    assert got == {("a", "b"): 0.5}
+
+
+def test_minhash_near_dups_recovers_exact_jaccard(spark):
+    df = spark.createDataFrame(
+        [("a", "alpha beta gamma delta epsilon zeta"),
+         ("b", "alpha beta gamma delta epsilon eta"),
+         ("c", "unrelated content entirely different")],
+        "id string, text string",
+    )
+    # jaccard(a,b)=0.6 -> needs narrow bands (2 rows) to collide reliably
+    got = {(r.left_id, r.right_id) for r in
+           minhash_near_dups(df, "id", "text", n_hashes=16, bands=8,
+                             verify_threshold=0.3).collect()}
+    assert ("a", "b") in got and all("c" not in p for p in got)
+
+
+def test_simhash_properties(spark):
+    base = ("the quick brown fox jumps over the lazy dog and runs across "
+            "the wide green field every sunny morning with great joy")
+    df = spark.createDataFrame(
+        [("a", base),
+         ("b", base.replace("dog", "cat")),  # hamming 2 (precomputed)
+         ("c", "entirely unrelated text about spark engines")],
+        "id string, text string",
+    )
+    sh = {r.id: r.simhash for r in simhash_df(df, "id", "text").collect()}
+    def ham(x, y):
+        return bin(x ^ y).count("1")
+    assert ham(sh["a"], sh["b"]) == 2  # matches the local reference impl
+    assert ham(sh["a"], sh["c"]) > 3
+    assert all(0 <= v < 2 ** 32 for v in sh.values())
+    # banded join guarantees recall for hamming <= 3 (4 bands, pigeonhole)
+    near = {(r.left_id, r.right_id): r.hamming
+            for r in simhash_near_dups(df, "id", "text", max_hamming=3
+                                       ).collect()}
+    assert near == {("a", "b"): 2}
+
+
+def test_cosine_topk_exact(spark):
+    df = spark.createDataFrame(
+        [(0, [1.0, 0.0]), (1, [0.9, 0.1]), (2, [0.0, 1.0]), (3, [1.0, 0.05])],
+        "vec_id int, embedding array<double>",
+    )
+    out = cosine_topk(df, df.filter("vec_id = 0"), k=2)
+    rows = out.orderBy("rank").collect()
+    assert [r.neighbor_id for r in rows] == [3, 1]
+    expect = (0.9) / (1.0 * math.sqrt(0.81 + 0.01))
+    assert abs(rows[1].cosine - round(expect, 6)) < 1e-9
+
+
+def test_ann_lsh_subset_of_exact(spark):
+    import random
+
+    rng = random.Random(1)
+    rows = [(i, [rng.gauss(0, 1) for _ in range(16)]) for i in range(200)]
+    df = spark.createDataFrame(rows, "vec_id int, embedding array<double>")
+    queries = df.filter("vec_id < 5")
+    exact = cosine_topk(df, queries, k=5)
+    approx = ann_topk_lsh(df, queries, k=5, n_bits=4)
+    # approx neighbors must each be genuine vectors with correct cosine:
+    joined = approx.alias("x").join(
+        exact.alias("e"),
+        (F.col("x.query_id") == F.col("e.query_id"))
+        & (F.col("x.neighbor_id") == F.col("e.neighbor_id")),
+    ).select(F.col("x.cosine").alias("ca"), F.col("e.cosine").alias("ce"))
+    assert joined.filter(F.col("ca") != F.col("ce")).count() == 0
+    # and with 4 bits on gaussian data, recall is nonzero
+    assert approx.count() > 0
+
+
+def test_embedding_near_dups(spark):
+    df = spark.createDataFrame(
+        [(0, [1.0, 0.0]), (1, [0.999, 0.001]), (2, [0.0, 1.0])],
+        "vec_id int, embedding array<double>",
+    )
+    got = {(r.left_id, r.right_id) for r in
+           embedding_near_dups(df, threshold=0.99).collect()}
+    assert got == {(0, 1)}
