@@ -56,11 +56,29 @@ def ngram_jaccard_pairs(
     from |A|,|B|,|A∩B|. Pairs below threshold are filtered before the
     final projection.
     """
-    sh = df.select(
+    from pyspark.sql import Window
+
+    # codegen shingle construction: posexplode tokens + window lead()
+    # (interpreted HOF slice/concat lambdas cost ~10x on this path);
+    # concat_ws skips the null leads so docs shorter than n still emit
+    # their partial whole-text shingle at pos 0
+    toks = df.select(
         F.col(id_col).alias("id"),
-        shingles(tokenize(F.col(text_col)), n).alias("sh"),
-    ).withColumn("n_sh", F.size("sh"))
-    ex = sh.select("id", "n_sh", F.explode("sh").alias("shingle"))
+        F.posexplode(tokenize(F.col(text_col))).alias("pos", "tok"),
+    )
+    w = Window.partitionBy("id").orderBy("pos")
+    leads = [F.lead("tok", j).over(w) for j in range(1, n)]
+    shingled = (
+        toks.withColumn("_last", leads[-1] if leads else F.lit(""))
+        .withColumn("shingle", F.concat_ws(" ", F.col("tok"), *leads))
+        .filter(F.col("_last").isNotNull() | (F.col("pos") == 0))
+    )
+    # distinct shingles per doc + per-doc shingle counts (reuses the
+    # hashpartitioning(id) laid down by the window)
+    ex = (
+        shingled.select("id", "shingle").distinct()
+        .withColumn("n_sh", F.count("*").over(Window.partitionBy("id")))
+    )
     if max_shingle_df is not None:
         heavy = (ex.groupBy("shingle").agg(F.count("*").alias("c"))
                  .filter(F.col("c") > max_shingle_df).select("shingle"))

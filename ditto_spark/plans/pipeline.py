@@ -66,7 +66,12 @@ def run_pipeline(
 
     def ck(name: str, fp_parts: tuple, build, partition_by=None) -> DataFrame:
         if store is None:
-            return build()
+            # no checkpoint store: still materialize each stage once —
+            # serialized feeds two blocking passes and candidates feed
+            # scoring + clustering; recomputing those subtrees per branch
+            # costs ~2-3x (the in-memory analog of the reference's
+            # .su/.dk stage caches, summarize.py:129-135)
+            return build().localCheckpoint(eager=False)
         return store.stage(name, fingerprint_of(*fp_parts), build,
                            partition_by)
 
