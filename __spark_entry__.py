@@ -371,6 +371,93 @@ def _er_pipeline_matches(spark, sf_dir):
                                 .alias("match_confidence"))
 
 
+def _er_dk(spark, sf_dir):
+    """DK injection (P8) over a derived token stream containing int /
+    float / ID tokens (the raw corpus has none)."""
+    from ditto_spark.operators.knowledge import dk_inject
+
+    d = _t(spark, sf_dir, "documents")
+    enriched = F.concat_ws(
+        " ", F.col("text"), F.col("n_chars").cast("string"),
+        F.format_string("%.3f", F.col("n_chars") / 7.0),
+        F.concat(F.lit("SKU"), F.col("doc_id").cast("string"), F.lit("X"),
+                 (F.col("n_chars") * 3).cast("string")),
+    )
+    return d.select("doc_id", dk_inject(enriched).alias("dk_text"))
+
+
+def _er_summarize(spark, sf_dir):
+    """TF-IDF summarizer (P7 + A1): corpus idf -> greedy top-idf budget of
+    8 tokens per doc, order preserved."""
+    from ditto_spark.operators.summarize import build_idf, summarize_column
+
+    d = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    idf, dflt = build_idf(spark, d)
+    out = summarize_column(d, idf, dflt, ["text"], max_len=8)
+    return out.select("doc_id", F.col("text").alias("summary"))
+
+
+def _er_serialize_flat(spark, sf_dir):
+    from ditto_spark.operators.serialize import serialize_flat
+
+    c = _t(spark, sf_dir, "customer")
+    return serialize_flat(
+        c, ["c_name", "c_mktsegment", "c_nationkey"]
+    ).select("c_custkey", "text")
+
+
+def _er_labelgen_counts(spark, sf_dir):
+    from ditto_spark.operators.labelgen import class_counts, labeled_pairs
+
+    d = _t(spark, sf_dir, "documents")
+    key = F.concat_ws("_", F.col("lang"), F.col("source"))
+    lp = labeled_pairs(d.select(F.col("doc_id").cast("string").alias("doc_id"),
+                                "text", key.alias("k")),
+                       F.col("k"), overlap_threshold=0.3)
+    return class_counts(lp)
+
+
+def _er_threshold_sweep(spark, sf_dir):
+    """A5/M4: F1-vs-threshold grid over jaccard-scored pairs with
+    jaccard>=0.2 as the pseudo-label."""
+    d = _t(spark, sf_dir, "documents")
+    scored = ngram_jaccard_pairs(d, "doc_id", "text", n=3, threshold=0.1,
+                                 max_shingle_df=None).select(
+        F.col("jaccard").alias("p"),
+        (F.col("jaccard") >= 0.2).cast("int").alias("y"))
+    grid = F.transform(F.sequence(F.lit(0), F.lit(19)),
+                       lambda i: i.cast("double") * 0.05)
+    ex = scored.select("p", "y", F.explode(grid).alias("th")).withColumn(
+        "pred", (F.col("p") > F.col("th")).cast("int"))
+    return (
+        ex.groupBy("th")
+        .agg(
+            F.sum(F.when((F.col("y") == 1) & (F.col("pred") == 1), 1)
+                  .otherwise(0)).alias("tp"),
+            F.sum(F.when((F.col("y") == 0) & (F.col("pred") == 1), 1)
+                  .otherwise(0)).alias("fp"),
+            F.sum(F.when((F.col("y") == 1) & (F.col("pred") == 0), 1)
+                  .otherwise(0)).alias("fn"),
+        )
+        .select(
+            "th",
+            F.when(2 * F.col("tp") + F.col("fp") + F.col("fn") > 0,
+                   F.round(2 * F.col("tp")
+                           / (2 * F.col("tp") + F.col("fp") + F.col("fn")),
+                           6)).otherwise(F.lit(0.0)).alias("f1"),
+        )
+    )
+
+
+def _q_cube_events(spark, sf_dir):
+    e = _t(spark, sf_dir, "events")
+    return (
+        e.cube("event_type", F.date_trunc("month", F.col("ts")).alias("mon"))
+        .agg(F.count("*").alias("n"),
+             F.sum(_dec(F.col("value"))).cast("double").alias("sum_value"))
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "q1_pricing_summary": _q1_pricing_summary,
@@ -397,6 +484,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "mm_frame_plan": _mm_frame_plan,
         "cluster_cc": _cluster_cc,
         "er_pipeline_matches": _er_pipeline_matches,
+        "er_dk": _er_dk,
+        "er_summarize": _er_summarize,
+        "er_serialize_flat": _er_serialize_flat,
+        "er_labelgen_counts": _er_labelgen_counts,
+        "er_threshold_sweep": _er_threshold_sweep,
+        "q_cube_events": _q_cube_events,
     }
 
 
@@ -462,8 +555,173 @@ _COS = (
 
 
 def oracle_sql() -> dict[str, str]:
+    from ditto_spark.operators.summarize import STOPWORDS
+
     ph_tok = porthash_sql("tok")
+    stop = ", ".join(f"'{w}'" for w in sorted(STOPWORDS))
+    overlap = (
+        "CAST(len(list_intersect("
+        "list_distinct(list_filter(string_split_regex(lower(a.text), '\\s+'), x -> x != '')), "
+        "list_distinct(list_filter(string_split_regex(lower(b.text), '\\s+'), x -> x != '')))) AS DOUBLE) "
+        "/ greatest("
+        "len(list_distinct(list_filter(string_split_regex(lower(a.text), '\\s+'), x -> x != ''))), "
+        "len(list_distinct(list_filter(string_split_regex(lower(b.text), '\\s+'), x -> x != ''))))"
+    )
+    dk_input = (
+        "text || ' ' || CAST(n_chars AS VARCHAR) || ' ' || "
+        "printf('%.3f', n_chars / 7.0) || ' SKU' || "
+        "CAST(doc_id AS VARCHAR) || 'X' || CAST(n_chars * 3 AS VARCHAR)"
+    )
     return {
+        "er_dk": f"""
+            SELECT doc_id,
+                   array_to_string(list_transform(
+                     list_filter(string_split_regex({dk_input}, '\\s+'),
+                                 x -> x != ''),
+                     t -> CASE
+                       WHEN regexp_matches(t, '^[-+]?\\d+$')
+                         THEN 'NUM ' || CAST(CAST(t AS BIGINT) AS VARCHAR)
+                       WHEN regexp_matches(t, '^[-+]?\\d*\\.\\d+$')
+                         THEN 'NUM ' || printf('%.2f', CAST(t AS DOUBLE))
+                       WHEN regexp_matches(t, '^[A-Za-z0-9\\-]{{8,}}$')
+                         AND regexp_matches(t, '[A-Za-z]')
+                         AND regexp_matches(t, '\\d')
+                         THEN 'ID ' || t
+                       ELSE t END), ' ') AS dk_text
+            FROM documents
+        """,
+        "er_summarize": f"""
+            WITH tok AS (
+              SELECT doc_id, unnest({_TOKS}) AS tok,
+                     generate_subscripts({_TOKS}, 1) AS pos
+              FROM documents),
+            n AS (SELECT COUNT(*) AS c FROM documents),
+            dfreq AS (
+              SELECT tok, COUNT(*) AS df
+              FROM (SELECT DISTINCT doc_id, tok FROM tok) GROUP BY tok),
+            idf AS (
+              SELECT tok, ln((1.0 + (SELECT c FROM n)) / (1.0 + df)) + 1.0
+                       AS idf
+              FROM dfreq),
+            cand AS (
+              SELECT DISTINCT t.doc_id, t.tok FROM tok t
+              WHERE lower(t.tok) NOT IN ({stop})),
+            kept AS (
+              SELECT doc_id, tok FROM (
+                SELECT c.doc_id, c.tok,
+                       ROW_NUMBER() OVER (PARTITION BY c.doc_id
+                         ORDER BY i.idf DESC, c.tok ASC) AS rk
+                FROM cand c JOIN idf i USING (tok))
+              WHERE rk <= 8),
+            agg AS (
+              SELECT t.doc_id, string_agg(t.tok, ' ' ORDER BY t.pos)
+                       AS summary
+              FROM tok t JOIN kept k
+                ON t.doc_id = k.doc_id AND t.tok = k.tok
+              GROUP BY t.doc_id)
+            SELECT d.doc_id, COALESCE(a.summary, '') AS summary
+            FROM documents d LEFT JOIN agg a USING (doc_id)
+        """,
+        "er_serialize_flat": """
+            SELECT c_custkey,
+                   concat_ws(' ',
+                     CASE WHEN trim(COALESCE(c_name, '')) != ''
+                          THEN 'COL c_name VAL ' || trim(c_name) END,
+                     CASE WHEN trim(COALESCE(c_mktsegment, '')) != ''
+                          THEN 'COL c_mktsegment VAL ' || trim(c_mktsegment)
+                          END,
+                     CASE WHEN trim(COALESCE(CAST(c_nationkey AS VARCHAR),
+                                             '')) != ''
+                          THEN 'COL c_nationkey VAL ' ||
+                               trim(CAST(c_nationkey AS VARCHAR)) END)
+                     AS text
+            FROM customer
+        """,
+        "er_labelgen_counts": f"""
+            WITH d AS (
+              SELECT CAST(doc_id AS VARCHAR) AS id, text,
+                     lang || '_' || source AS k
+              FROM documents),
+            pos AS (
+              SELECT a.id AS left_id, b.id AS right_id
+              FROM d a JOIN d b ON a.k = b.k AND a.id < b.id
+              WHERE {overlap} > 0.3),
+            negc AS (
+              SELECT a.id AS left_id, b.id AS right_id,
+                     ROW_NUMBER() OVER (PARTITION BY a.id ORDER BY b.id)
+                       AS rk
+              FROM d a JOIN d b ON a.id < b.id
+              WHERE {porthash_sql("a.id || '|' || b.id")} % 97 = 0),
+            neg AS (
+              SELECT left_id, right_id FROM negc c
+              WHERE rk <= 5 AND NOT EXISTS (
+                SELECT 1 FROM pos p
+                WHERE p.left_id = c.left_id AND p.right_id = c.right_id)),
+            lab AS (
+              SELECT left_id, right_id, 1 AS label FROM pos
+              UNION ALL
+              SELECT left_id, right_id, 0 AS label FROM neg),
+            sp AS (
+              SELECT label,
+                     CASE
+                       WHEN {porthash_sql(
+                           "'split42|' || left_id || '|' || right_id")}
+                            % 100 < 70 THEN 'train'
+                       WHEN {porthash_sql(
+                           "'split42|' || left_id || '|' || right_id")}
+                            % 100 < 85 THEN 'valid'
+                       ELSE 'test' END AS split
+              FROM lab)
+            SELECT split, label, COUNT(*) AS n
+            FROM sp GROUP BY 1, 2 ORDER BY split, label
+        """,
+        "er_threshold_sweep": f"""
+            WITH d AS (SELECT doc_id, {_TOKS} AS w FROM documents),
+            sh AS (SELECT doc_id, {_SHINGLES} AS s FROM d),
+            ex AS (SELECT doc_id, len(s) AS n, unnest(s) AS shingle FROM sh),
+            pairs AS (
+              SELECT a.doc_id AS l, b.doc_id AS r, a.n AS na, b.n AS nb,
+                     COUNT(*) AS common
+              FROM ex a JOIN ex b
+                ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+              GROUP BY 1, 2, 3, 4),
+            scored AS (
+              SELECT round(CAST(common AS DOUBLE) / (na + nb - common), 6)
+                       AS p
+              FROM pairs
+              WHERE round(CAST(common AS DOUBLE) / (na + nb - common), 6)
+                    >= 0.1),
+            lbl AS (SELECT p, CASE WHEN p >= 0.2 THEN 1 ELSE 0 END AS y
+                    FROM scored),
+            grid AS (SELECT CAST(i AS DOUBLE) * 0.05 AS th
+                     FROM (SELECT unnest(range(20)) AS i)),
+            ex2 AS (
+              SELECT g.th, l.y,
+                     CASE WHEN l.p > g.th THEN 1 ELSE 0 END AS pred
+              FROM lbl l CROSS JOIN grid g),
+            f AS (
+              SELECT th,
+                     SUM(CASE WHEN y = 1 AND pred = 1 THEN 1 ELSE 0 END)
+                       AS tp,
+                     SUM(CASE WHEN y = 0 AND pred = 1 THEN 1 ELSE 0 END)
+                       AS fp,
+                     SUM(CASE WHEN y = 1 AND pred = 0 THEN 1 ELSE 0 END)
+                       AS fn
+              FROM ex2 GROUP BY th)
+            SELECT th,
+                   CASE WHEN 2 * tp + fp + fn > 0
+                        THEN round(2 * tp / (2 * tp + fp + fn), 6)
+                        ELSE 0.0 END AS f1
+            FROM f
+        """,
+        "q_cube_events": """
+            SELECT event_type, date_trunc('month', ts) AS mon,
+                   COUNT(*) AS n,
+                   CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE)
+                     AS sum_value
+            FROM events
+            GROUP BY CUBE (event_type, date_trunc('month', ts))
+        """,
         "q1_pricing_summary": f"""
             SELECT l_returnflag, l_linestatus,
                    CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE)

@@ -24,8 +24,12 @@ from pyspark.sql import functions as F
 
 _INT = r"^[-+]?\d+$"
 _FLOAT = r"^[-+]?\d*\.\d+$"
-# long alnum mixing letters+digits => ID (knowledge.py:101-103)
-_ID = r"^(?=.*[A-Za-z])(?=.*\d)[A-Za-z0-9\-]{8,}$"
+# long alnum mixing letters+digits => ID (knowledge.py:101-103);
+# decomposed into lookahead-free pieces so RE2-based engines (the DuckDB
+# oracle) can reproduce the predicate exactly
+_ID_SHAPE = r"^[A-Za-z0-9\-]{8,}$"
+_HAS_ALPHA = r"[A-Za-z]"
+_HAS_DIGIT = r"\d"
 
 
 def dk_token(t: Column) -> Column:
@@ -42,7 +46,8 @@ def dk_token(t: Column) -> Column:
                         F.format_string("%d", t.cast("long"))))
         .when(t.rlike(_FLOAT),
               F.concat(F.lit("NUM "), F.format_string("%.2f", as_float)))
-        .when(t.rlike(_ID), F.concat(F.lit("ID "), t))
+        .when(t.rlike(_ID_SHAPE) & t.rlike(_HAS_ALPHA) & t.rlike(_HAS_DIGIT),
+              F.concat(F.lit("ID "), t))
         .otherwise(t)
     )
 

@@ -1,0 +1,97 @@
+"""Readers/writers for the reference's file formats (SURVEY.md §2.1).
+
+  S2 TSV labeled pairs   left\\tright\\tlabel      dataset.py:37-48
+  S3 JSONL candidates    [left, right] arrays or {left,right,id} objects
+                         matcher.py:162-177; csv_to_all_pairs.py:98-110
+  S4 CSV records         csv_to_ditto.py:21
+  S5 txt -> jsonl        matcher.py:162-168 (here: a projection)
+  S6 JSONL match sink    {left,right,match,match_confidence}
+                         matcher.py:156-160
+  S7 table sink          hive_ditto_standalone.py:371-454's per-row
+                         INSERTs replaced by one set-based parquet/table
+                         write
+
+All are thin wrappers over spark.read/write with the contract schemas —
+the point is the schema fidelity, not cleverness.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.types import (
+    ArrayType,
+    IntegerType,
+    StringType,
+    StructField,
+    StructType,
+)
+
+PAIR_TSV_SCHEMA = StructType([
+    StructField("left", StringType(), True),
+    StructField("right", StringType(), True),
+    StructField("label", IntegerType(), True),
+])
+
+
+def read_labeled_pairs_tsv(spark: SparkSession, path: str) -> DataFrame:
+    """S2: `left \\t right \\t label` lines (README.md:33-36)."""
+    return (
+        spark.read.option("sep", "\t").schema(PAIR_TSV_SCHEMA).csv(path)
+    )
+
+
+def read_candidates_jsonl(spark: SparkSession, path: str) -> DataFrame:
+    """S3: one JSON value per line; supports BOTH reference layouts —
+    `[left, right]` arrays (sample_test_data.jsonl) and
+    `{left, right, ...}` objects (csv_to_matching_format.py:79-84) —
+    detected from the first character, all inside native expressions."""
+    raw = spark.read.text(path).withColumnRenamed("value", "line")
+    arr = F.from_json(F.col("line"), ArrayType(StringType()))
+    obj = F.from_json(
+        F.col("line"),
+        StructType([StructField("left", StringType()),
+                    StructField("right", StringType()),
+                    StructField("id", StringType())]),
+    )
+    is_arr = F.startswith(F.trim(F.col("line")), F.lit("["))
+    return raw.select(
+        F.when(is_arr, arr[0]).otherwise(obj["left"]).alias("left_text"),
+        F.when(is_arr, arr[1]).otherwise(obj["right"]).alias("right_text"),
+        F.when(is_arr, F.lit(None).cast("string")).otherwise(obj["id"])
+        .alias("pair_id"),
+    )
+
+
+def read_records_csv(spark: SparkSession, path: str,
+                     rename: dict[str, str] | None = None) -> DataFrame:
+    """S4 + P3: CSV with header, optional column-rename map
+    (csv_to_ditto.py:37-45)."""
+    df = spark.read.option("header", "true").csv(path)
+    return df.withColumnsRenamed(rename) if rename else df
+
+
+def write_matches_jsonl(matches: DataFrame, path: str) -> None:
+    """S6: the matcher's output contract (matcher.py:156-160). Column
+    order fixed; one JSON object per line."""
+    (matches.select(
+        F.col("left_id").alias("left"), F.col("right_id").alias("right"),
+        "match", "match_confidence")
+     .write.mode("overwrite").json(path))
+
+
+def write_matches_table(matches: DataFrame, path: str,
+                        partition_cols: list[str] | None = None) -> None:
+    """S7: set-based table sink (replaces hive_ditto_standalone.py:426-446
+    per-row INSERT loop) with the result-table columns of the reference
+    DDL (:409-419)."""
+    out = matches.select(
+        "left_id", "right_id",
+        F.col("match_confidence").alias("match_probability"),
+        (F.col("match") == 1).alias("is_match"),
+        F.current_timestamp().alias("created_at"),
+    )
+    w = out.write.mode("overwrite")
+    if partition_cols:
+        w = w.partitionBy(*partition_cols)
+    w.parquet(path)
