@@ -1,0 +1,93 @@
+"""spark-submit entry point for the ER pipeline.
+
+Cluster usage (the deployment shape the reference scatters across
+Kubeflow pods, hive_ditto_pipeline.py:283-359 — here one Spark app):
+
+    zip -r ditto_spark.zip ditto_spark
+    spark-submit --py-files ditto_spark.zip \\
+        --conf spark.sql.adaptive.enabled=true \\
+        --conf spark.sql.adaptive.skewJoin.enabled=true \\
+        -m ditto_spark.cli -- \\
+        --input  s3://.../docs_parquet \\
+        --output s3://.../er_out \\
+        --checkpoint s3://.../er_ck
+
+Local smoke:
+
+    python -m ditto_spark.cli --synthetic 2000 --output /tmp/er_out
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import sys
+import time
+
+
+def build_parser() -> argparse.ArgumentParser:
+    p = argparse.ArgumentParser(prog="ditto_spark",
+                                description="PySpark ER pipeline")
+    p.add_argument("--input", help="parquet dir with (doc_id, spans) docs")
+    p.add_argument("--synthetic", type=int, default=0,
+                   help="generate N synthetic docs instead of --input")
+    p.add_argument("--output", required=True, help="output dir")
+    p.add_argument("--checkpoint", help="stage-checkpoint dir (resumable)")
+    p.add_argument("--threshold", type=float, default=0.5)
+    p.add_argument("--minhash-hashes", type=int, default=16)
+    p.add_argument("--minhash-bands", type=int, default=8)
+    p.add_argument("--sn-window", type=int, default=4)
+    p.add_argument("--max-bucket-rows", type=int, default=200)
+    p.add_argument("--cores", type=int, default=0,
+                   help="local[N] cores (0 = existing/default session)")
+    return p
+
+
+def main(argv: list[str] | None = None) -> int:
+    args = build_parser().parse_args(argv)
+    if not args.input and not args.synthetic:
+        print("need --input or --synthetic", file=sys.stderr)
+        return 2
+
+    from ditto_spark.plans.pipeline import PipelineConfig, run_pipeline
+    from ditto_spark.session import get_spark
+    from ditto_spark.sources.checkpoint import CheckpointStore
+    from ditto_spark.sources.io import write_matches_table
+
+    spark = get_spark("ditto_spark_cli",
+                      cores=args.cores if args.cores else None)
+    if args.synthetic:
+        from ditto_spark.synth import distributed_docs
+
+        docs = distributed_docs(spark, args.synthetic)
+    else:
+        docs = spark.read.parquet(args.input)
+
+    cfg = PipelineConfig(
+        threshold=args.threshold,
+        minhash_hashes=args.minhash_hashes,
+        minhash_bands=args.minhash_bands,
+        sn_window=args.sn_window,
+        max_bucket_rows=args.max_bucket_rows,
+    )
+    store = (CheckpointStore(spark, args.checkpoint)
+             if args.checkpoint else None)
+    t0 = time.monotonic()
+    out = run_pipeline(spark, docs, cfg, store=store)
+    write_matches_table(out["matches"], f"{args.output}/matches")
+    out["entities"].write.mode("overwrite").parquet(
+        f"{args.output}/entities")
+    n_docs = out["entities"].count()
+    stats = {
+        "docs": n_docs,
+        "matches": out["matches"].filter("match = 1").count(),
+        "entities": out["entities"].select("entity_id").distinct().count(),
+        "wall_sec": round(time.monotonic() - t0, 2),
+    }
+    stats["docs_per_sec"] = round(n_docs / stats["wall_sec"], 1)
+    print(json.dumps(stats))
+    return 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())
