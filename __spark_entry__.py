@@ -458,6 +458,37 @@ def _q_cube_events(spark, sf_dir):
     )
 
 
+def _er_two_table_topk(spark, sf_dir):
+    """J4/M7: hashed-BoW encode two tables (even/odd doc split), top-3
+    most-similar left rows per right row (blocker.py:43-80 contract)."""
+    from ditto_spark.operators.embed import two_table_topk_blocking
+
+    d = _t(spark, sf_dir, "documents").select(
+        F.col("doc_id").cast("string").alias("id"), "text",
+        F.col("doc_id").alias("k"))
+    a = d.filter(F.col("k") % 2 == 0).select("id", "text")
+    b = d.filter((F.col("k") % 2 == 1) & (F.col("k") < 100)).select(
+        "id", "text")
+    return two_table_topk_blocking(a, b, k=3, dim=64)
+
+
+def _er_match_stats(spark, sf_dir):
+    """A3: aggregate match statistics over threshold-decided pairs
+    (hive_ditto_standalone.py:262-286 as one set-based aggregate)."""
+    from ditto_spark.operators.embed import match_stats
+
+    d = _t(spark, sf_dir, "documents")
+    scored = ngram_jaccard_pairs(d, "doc_id", "text", n=3, threshold=0.1,
+                                 max_shingle_df=None)
+    decided = scored.select(
+        (F.col("jaccard") >= 0.2).cast("int").alias("match"),
+        F.when(F.col("jaccard") >= 0.2, F.col("jaccard"))
+        .otherwise(F.round(1 - F.col("jaccard"), 6))
+        .alias("match_confidence"),
+    )
+    return match_stats(decided)
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "q1_pricing_summary": _q1_pricing_summary,
@@ -490,6 +521,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "er_labelgen_counts": _er_labelgen_counts,
         "er_threshold_sweep": _er_threshold_sweep,
         "q_cube_events": _q_cube_events,
+        "er_two_table_topk": _er_two_table_topk,
+        "er_match_stats": _er_match_stats,
     }
 
 
@@ -713,6 +746,79 @@ def oracle_sql() -> dict[str, str]:
                         THEN round(2 * tp / (2 * tp + fp + fn), 6)
                         ELSE 0.0 END AS f1
             FROM f
+        """,
+        "er_two_table_topk": f"""
+            WITH d AS (
+              SELECT CAST(doc_id AS VARCHAR) AS id, doc_id AS k, text
+              FROM documents),
+            tok AS (
+              SELECT id, k, unnest({_TOKS}) AS tok FROM d),
+            cnt AS (
+              SELECT id, k,
+                     CAST({porthash_sql('tok')} % 64 AS INT) AS dim,
+                     CAST(COUNT(*) AS DOUBLE) AS w
+              FROM tok GROUP BY 1, 2, 3),
+            vecs AS (
+              SELECT id, k, map(list(dim), list(w)) AS m
+              FROM cnt GROUP BY 1, 2),
+            dense AS (
+              SELECT id, k,
+                     list_transform(range(64),
+                       i -> CAST(COALESCE(
+                         list_extract(element_at(m, CAST(i AS INT)), 1),
+                         0.0) AS DOUBLE)) AS raw
+              FROM vecs),
+            nrm AS (
+              SELECT id, k,
+                     list_transform(raw, x -> x /
+                       sqrt(list_sum(list_transform(raw, y -> y * y))))
+                       AS vec
+              FROM dense),
+            scored AS (
+              SELECT a.id AS left_id, b.id AS right_id,
+                     round(
+                       list_sum(list_transform(list_zip(a.vec, b.vec),
+                         z -> z[1]::DOUBLE * z[2]::DOUBLE)) /
+                       (sqrt(list_sum(list_transform(a.vec,
+                          x -> x::DOUBLE * x::DOUBLE))) *
+                        sqrt(list_sum(list_transform(b.vec,
+                          x -> x::DOUBLE * x::DOUBLE)))), 6) AS sim
+              FROM nrm a CROSS JOIN nrm b
+              WHERE a.k % 2 = 0 AND b.k % 2 = 1 AND b.k < 100),
+            ranked AS (
+              SELECT *, ROW_NUMBER() OVER (PARTITION BY right_id
+                ORDER BY sim DESC, left_id ASC) AS rank
+              FROM scored)
+            SELECT left_id, right_id, sim, rank
+            FROM ranked WHERE rank <= 3
+        """,
+        "er_match_stats": f"""
+            WITH d AS (SELECT doc_id, {_TOKS} AS w FROM documents),
+            sh AS (SELECT doc_id, {_SHINGLES} AS s FROM d),
+            ex AS (SELECT doc_id, len(s) AS n, unnest(s) AS shingle FROM sh),
+            pairs AS (
+              SELECT a.doc_id AS l, b.doc_id AS r, a.n AS na, b.n AS nb,
+                     COUNT(*) AS common
+              FROM ex a JOIN ex b
+                ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+              GROUP BY 1, 2, 3, 4),
+            scored AS (
+              SELECT round(CAST(common AS DOUBLE) / (na + nb - common), 6)
+                       AS j
+              FROM pairs
+              WHERE round(CAST(common AS DOUBLE) / (na + nb - common), 6)
+                    >= 0.1),
+            decided AS (
+              SELECT CASE WHEN j >= 0.2 THEN 1 ELSE 0 END AS match,
+                     CASE WHEN j >= 0.2 THEN j ELSE round(1 - j, 6) END
+                       AS match_confidence
+              FROM scored)
+            SELECT COUNT(*) AS total_pairs,
+                   CAST(SUM(match) AS BIGINT) AS matches,
+                   CAST(COUNT(*) - SUM(match) AS BIGINT) AS non_matches,
+                   round(SUM(match) / COUNT(*), 6) AS match_rate,
+                   round(AVG(match_confidence), 6) AS avg_confidence
+            FROM decided
         """,
         "q_cube_events": """
             SELECT event_type, date_trunc('month', ts) AS mon,

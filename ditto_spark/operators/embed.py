@@ -1,0 +1,100 @@
+"""Deterministic text embeddings + two-table embedding blocking.
+
+The reference's blocker (blocking/blocker.py) encodes entity strings
+with a SentenceTransformer (M7), L2-normalizes (:36), then emits top-k
+or threshold pairs from a blocked matmul (:43-80). No torch here, so the
+encoder surrogate is the classic hashing-trick bag-of-words: dim =
+porthash(token) mod D, weight 1, L2-normalized — deterministic, fully
+codegen (posexplode + groupBy + pivot-free aggregation), and exactly
+reproducible by the SQL oracle. A SentenceTransformer backend slots in
+as a mapInPandas encoder with the same output column, mirroring
+scoring.py's backend split.
+
+Two-table blocking (the table_a/table_b CLI contract, blocker.py:90-121)
+is then a join + window top-k: the distributed form of
+`np.argpartition(-sim, k)` (:67-72), including the threshold mode whose
+reference implementation crashes on an undefined variable (:74-79 uses
+`total` that is never set — behavior re-created from intent, not code).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from ditto_spark.operators.blocking import tokenize
+from ditto_spark.operators.hashing import porthash
+
+
+def hashed_bow_embed(df: DataFrame, id_col: str, text_col: str,
+                     dim: int = 64) -> DataFrame:
+    """(id, vec array<double>) — hashing-trick BoW, L2-normalized.
+
+    Plan: posexplode tokens -> dim = porthash(tok) mod D -> groupBy
+    (id, dim) counts -> per-id dense vector via groupBy(id) +
+    array construction from (dim, count) pairs -> normalize. Two
+    aggregations on the same key (single partitioning chain).
+    """
+    toks = df.select(
+        F.col(id_col).alias("id"),
+        F.explode(tokenize(F.col(text_col))).alias("tok"),
+    ).withColumn("d", (porthash(F.col("tok")) % dim).cast("int"))
+    counts = toks.groupBy("id", "d").agg(
+        F.count("*").cast("double").alias("w"))
+    pairs = counts.groupBy("id").agg(
+        F.map_from_arrays(F.collect_list("d"),
+                          F.collect_list("w")).alias("m"))
+    idx = F.sequence(F.lit(0), F.lit(dim - 1))
+    dense = pairs.withColumn(
+        "raw",
+        F.transform(idx, lambda i: F.coalesce(
+            F.element_at(F.col("m"), i.cast("int")), F.lit(0.0))))
+    nrm = F.sqrt(F.aggregate(F.col("raw"), F.lit(0.0),
+                             lambda a, x: a + x * x))
+    return dense.select(
+        "id",
+        F.transform(F.col("raw"), lambda x: x / nrm).alias("vec"),
+    )
+
+
+def two_table_topk_blocking(
+    dfa: DataFrame,
+    dfb: DataFrame,
+    k: int = 10,
+    threshold: float | None = None,
+    id_col: str = "id",
+    text_col: str = "text",
+    dim: int = 64,
+) -> DataFrame:
+    """blocker.py:43-80 re-created: encode both tables, emit for each
+    right-table row its top-k most-cosine-similar left rows (and/or a
+    similarity threshold). Returns (left_id, right_id, sim, rank)."""
+    from ditto_spark.operators.similarity import cosine
+
+    ea = hashed_bow_embed(dfa, id_col, text_col, dim).select(
+        F.col("id").alias("left_id"), F.col("vec").alias("va"))
+    eb = hashed_bow_embed(dfb, id_col, text_col, dim).select(
+        F.col("id").alias("right_id"), F.col("vec").alias("vb"))
+    scored = ea.crossJoin(eb).withColumn(
+        "sim", F.round(cosine(F.col("va"), F.col("vb")), 6))
+    if threshold is not None:
+        scored = scored.filter(F.col("sim") >= threshold)
+    w = Window.partitionBy("right_id").orderBy(F.desc("sim"),
+                                               F.asc("left_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("left_id", "right_id", "sim", "rank")
+    )
+
+
+def match_stats(scored: DataFrame) -> DataFrame:
+    """A3: one-row match statistics (hive_ditto_standalone.py:262-286's
+    printed stats as a set-based aggregate)."""
+    return scored.agg(
+        F.count("*").alias("total_pairs"),
+        F.sum("match").alias("matches"),
+        (F.count("*") - F.sum("match")).alias("non_matches"),
+        F.round(F.sum("match") / F.count("*"), 6).alias("match_rate"),
+        F.round(F.avg("match_confidence"), 6).alias("avg_confidence"),
+    )
