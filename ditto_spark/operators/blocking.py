@@ -65,6 +65,8 @@ def key_blocking(
     id_col: str = "doc_id",
     text_col: str = "text",
     max_block_rows: int | None = 1000,
+    salt_above: int | None = None,
+    n_salts: int = 16,
 ) -> DataFrame:
     """Pair rows sharing a normalized blocking key.
 
@@ -79,6 +81,8 @@ def key_blocking(
         F.col(id_col).alias("id"), F.col(text_col).alias("txt"),
         key.alias("block_key"),
     ).filter(F.col("block_key").isNotNull() & (F.col("block_key") != ""))
+    if salt_above is not None:
+        keyed = salt_hot_keys(keyed, "block_key", salt_above, n_salts)
     if max_block_rows is not None:
         w = Window.partitionBy("block_key").orderBy("id")
         keyed = (keyed.withColumn("_rk", F.row_number().over(w))
@@ -94,6 +98,40 @@ def key_blocking(
                & (F.col("left_id") < F.col("right_id")))
         .drop("bk2")
     )
+
+
+def salt_hot_keys(
+    df: DataFrame,
+    key_col: str = "block_key",
+    max_rows_per_key: int = 1000,
+    n_salts: int = 16,
+    id_col: str = "id",
+) -> DataFrame:
+    """Rewrite hot blocking keys as `key#salt` so no single join group
+    exceeds ~max_rows_per_key rows.
+
+    Real-world blocking keys are Zipfian (SURVEY.md §7 'hard parts'); a
+    hot key makes the self-join O(b^2) on one task. Salting splits a hot
+    block into n_salts sub-blocks (pairing then happens within sub-blocks
+    only — a recall-bounded tradeoff vs key_blocking's deterministic row
+    cap, which drops rows outright). Hot keys are found with one cheap
+    aggregate and broadcast back; salt assignment is the portable hash of
+    the row id, so results are partition-independent. AQE skew-join
+    splitting still backs this up at runtime for residual skew.
+    """
+    hot = (
+        df.groupBy(key_col).agg(F.count("*").alias("_c"))
+        .filter(F.col("_c") > max_rows_per_key)
+        .select(key_col, "_c")
+    )
+    out = df.join(F.broadcast(hot), key_col, "left")
+    salt = porthash(F.col(id_col).cast("string")) % n_salts
+    return out.withColumn(
+        key_col,
+        F.when(F.col("_c").isNotNull(),
+               F.concat_ws("#", F.col(key_col), salt.cast("string")))
+        .otherwise(F.col(key_col)),
+    ).drop("_c")
 
 
 # ---------------------------------------------------------------------------
@@ -178,12 +216,20 @@ def sorted_neighborhood(
 # J4: MinHash-LSH over token shingles (portable hash family)
 # ---------------------------------------------------------------------------
 
-def tokenize(col: Column) -> Column:
-    """Lowercase word tokens; drops the COL/VAL markers' case variance.
-    Mirrors the reference's whitespace-token view (summarize.py:70-75)."""
-    return F.filter(
+def tokenize(col: Column, drop_markers: bool = False) -> Column:
+    """Lowercase word tokens. Mirrors the reference's whitespace-token
+    view (summarize.py:70-75). drop_markers=True removes the COL/VAL
+    scaffolding tokens — REQUIRED for similarity blocking over serialized
+    entities: marker tokens appear in every document, so shingles built
+    over them ('col name val', 'name val …') are near-universal and
+    collapse MinHash bands into one global bucket (measured: 65
+    candidates/doc at 100k docs with markers vs ~5 without)."""
+    toks = F.filter(
         F.split(F.lower(F.trim(col)), r"\s+"), lambda t: t != F.lit("")
     )
+    if drop_markers:
+        toks = F.filter(toks, lambda t: (t != "col") & (t != "val"))
+    return toks
 
 
 def shingles(tokens: Column, n: int = 3) -> Column:
@@ -283,7 +329,8 @@ def minhash_band_buckets(
     rows = n_hashes // bands
     toks = df.select(
         F.col(id_col).alias("id"),
-        F.posexplode(tokenize(F.col(text_col))).alias("pos", "tok"),
+        F.posexplode(tokenize(F.col(text_col), drop_markers=True)
+                     ).alias("pos", "tok"),
     ).withColumn("h", F.pmod(F.xxhash64("tok"), F.lit(MERSENNE31)))
     w = Window.partitionBy("id").orderBy("pos")
     shingled = toks

@@ -108,6 +108,80 @@ def rp_lsh_buckets(emb: DataFrame, n_bits: int = 8,
                       bucket.alias("bucket"))
 
 
+def ivf_topk(
+    emb: DataFrame,
+    queries: DataFrame,
+    k: int = 10,
+    n_cells: int = 16,
+    n_probe: int = 2,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    seed: int = 42,
+    sample_fraction: float = 1.0,
+) -> DataFrame:
+    """IVF-style ANN: k-means coarse quantizer -> probe the n_probe
+    nearest cells -> exact cosine re-rank inside them.
+
+    Scale shape: centroids are trained once on a sample (pyspark.ml
+    KMeans) and broadcast; cell assignment is a broadcast join + window
+    min (n_cells rows — never a shuffle of the corpus by anything but
+    cell id); the probe join is an equi-join on cell. Recall grows with
+    n_probe (n_probe = n_cells degenerates to brute force).
+    """
+    from pyspark.ml.clustering import KMeans
+    from pyspark.ml.functions import array_to_vector
+
+    train = emb.select(array_to_vector(
+        F.col(vec_col).cast("array<double>")).alias("features"))
+    if sample_fraction < 1.0:
+        train = train.sample(sample_fraction, seed=seed)
+    model = KMeans(k=n_cells, seed=seed, featuresCol="features").fit(train)
+    centers = [list(map(float, c)) for c in model.clusterCenters()]
+    spark = emb.sparkSession
+    cent_df = F.broadcast(spark.createDataFrame(
+        [(i, c) for i, c in enumerate(centers)],
+        "cell int, centroid array<double>"))
+
+    def dist2(v, c):
+        return F.aggregate(
+            F.zip_with(v, c, lambda x, y: (x.cast("double") - y)
+                       * (x.cast("double") - y)),
+            F.lit(0.0), lambda a, x: a + x)
+
+    def assign(df, n_keep):
+        scored = df.crossJoin(cent_df).withColumn(
+            "_d", dist2(F.col("vec"), F.col("centroid")))
+        w = Window.partitionBy("id").orderBy(F.asc("_d"), F.asc("cell"))
+        return (scored.withColumn("_r", F.row_number().over(w))
+                .filter(F.col("_r") <= n_keep)
+                .select("id", "vec", "cell"))
+
+    base = assign(
+        emb.select(F.col(id_col).alias("id"), F.col(vec_col).alias("vec")),
+        1)
+    probes = assign(
+        queries.select(F.col(id_col).alias("id"),
+                       F.col(vec_col).alias("vec")),
+        n_probe)
+    cands = (
+        probes.select(F.col("id").alias("query_id"),
+                      F.col("vec").alias("qv"), "cell")
+        .join(base.select(F.col("id").alias("neighbor_id"),
+                          F.col("vec").alias("nv"), "cell"), "cell")
+        .filter(F.col("query_id") != F.col("neighbor_id"))
+    )
+    scored = cands.withColumn(
+        "cosine", F.round(cosine(F.col("qv"), F.col("nv")), 6))
+    w = Window.partitionBy("query_id").orderBy(
+        F.desc("cosine"), F.asc("neighbor_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .dropDuplicates(["query_id", "neighbor_id"])
+        .select("query_id", "neighbor_id", "cosine", "rank")
+    )
+
+
 def ann_topk_lsh(
     emb: DataFrame,
     queries: DataFrame,

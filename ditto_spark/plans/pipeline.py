@@ -34,8 +34,12 @@ class PipelineConfig:
     use_summarizer: bool = False       # needs a corpus pass; optional
     summarizer_max_len: int = 64
     use_dk: bool = True
-    minhash_hashes: int = 16
-    minhash_bands: int = 8
+    # 6 bands x 4 rows: P(candidate) ≈ 81% per pass at jaccard 0.7 (real
+    # near-dups; the SN pass covers the rest) but ~1% at jaccard 0.2 —
+    # 2-row bands admit 28% of j=0.2 noise pairs, which at 100k docs
+    # meant 27 candidates/doc (measured)
+    minhash_hashes: int = 24
+    minhash_bands: int = 6
     shingle_n: int = 3
     sn_window: int = 4
     max_bucket_rows: int = 200

@@ -109,3 +109,28 @@ def test_config_changes_invalidate_checkpoint(spark, tmp_path):
     # scoring + clustering depend on threshold -> recomputed
     assert "scored" in s.recomputed and "entities" in s.recomputed
     assert "serialized" not in s.recomputed
+
+
+def test_pipeline_with_summarizer_and_tuned_threshold(spark):
+    """Exercise the optional P7 path inside the DAG plus threshold tuning
+    on a small labeled validation frame (matcher.py:192-253 flow)."""
+    from ditto_spark.operators.scoring import tune_threshold
+    from ditto_spark.plans.pipeline import PipelineConfig, run_pipeline
+
+    docs = docs_df(spark, n_entities=40)
+    truth = truth_df(spark, n_entities=40)
+    out = run_pipeline(spark, docs,
+                       PipelineConfig(use_summarizer=True,
+                                      summarizer_max_len=24))
+    f1 = _pair_f1(out["entities"], truth)
+    assert f1 > 0.6, f"summarized-pipeline F1 too low: {f1}"
+
+    # tune threshold on scored candidates labeled by ground truth
+    scored = out["scored"].join(
+        truth.withColumnRenamed("doc_id", "left_id")
+        .withColumnRenamed("cluster_id", "cl"), "left_id").join(
+        truth.withColumnRenamed("doc_id", "right_id")
+        .withColumnRenamed("cluster_id", "cr"), "right_id").select(
+        "p1", (F.col("cl") == F.col("cr")).cast("int").alias("label"))
+    th = tune_threshold(scored, label_col="label")
+    assert 0.0 <= th <= 0.95

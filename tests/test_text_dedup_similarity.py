@@ -167,3 +167,29 @@ def test_embedding_near_dups(spark):
     got = {(r.left_id, r.right_id) for r in
            embedding_near_dups(df, threshold=0.99).collect()}
     assert got == {(0, 1)}
+
+
+def test_ivf_topk_recall_and_exactness(spark):
+    import random
+
+    from ditto_spark.operators.similarity import ivf_topk
+
+    rng = random.Random(3)
+    # clustered data: 4 gaussian blobs -> IVF cells align with blobs
+    centers = [[5, 0, 0, 0], [0, 5, 0, 0], [0, 0, 5, 0], [0, 0, 0, 5]]
+    rows = [(i, [c + rng.gauss(0, 0.3) for c in centers[i % 4]])
+            for i in range(400)]
+    df = spark.createDataFrame(rows, "vec_id int, embedding array<double>")
+    queries = df.filter("vec_id < 8")
+    exact = cosine_topk(df, queries, k=5)
+    approx = ivf_topk(df, queries, k=5, n_cells=4, n_probe=1)
+    # cosines must agree exactly where pairs overlap
+    j = approx.alias("x").join(
+        exact.alias("e"),
+        (F.col("x.query_id") == F.col("e.query_id"))
+        & (F.col("x.neighbor_id") == F.col("e.neighbor_id")))
+    assert j.filter(F.col("x.cosine") != F.col("e.cosine")).count() == 0
+    # blob-aligned cells -> high recall even with n_probe=1
+    hit = j.count()
+    total = exact.count()
+    assert hit / total > 0.9, (hit, total)
