@@ -489,6 +489,29 @@ def _er_match_stats(spark, sf_dir):
     return match_stats(decided)
 
 
+def _corpus_clean(spark, sf_dir):
+    """Composite training-data prep: quality filter + language filter +
+    near-dup removal (keep the smallest doc_id of each near-dup group) —
+    the one-pass 'clean corpus' materialization a pretraining pipeline
+    runs before tokenization."""
+    d = _t(spark, sf_dir, "documents")
+    scored = d.select(
+        "doc_id",
+        token_count_ws(F.col("text")).alias("n_tokens"),
+        lang_id(F.col("text")).alias("lang_guess"),
+        quality_score(F.col("text")).alias("quality"),
+    )
+    dups = ngram_jaccard_pairs(d, "doc_id", "text", n=3, threshold=0.3,
+                               max_shingle_df=None).select(
+        F.col("right_id").alias("doc_id"))
+    return (
+        scored.filter((F.col("quality") >= 0.8)
+                      & (F.col("lang_guess") == "en"))
+        .join(dups, "doc_id", "left_anti")
+        .select("doc_id", "n_tokens", "quality")
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "q1_pricing_summary": _q1_pricing_summary,
@@ -523,6 +546,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_cube_events": _q_cube_events,
         "er_two_table_topk": _er_two_table_topk,
         "er_match_stats": _er_match_stats,
+        "corpus_clean": _corpus_clean,
     }
 
 
@@ -819,6 +843,31 @@ def oracle_sql() -> dict[str, str]:
                    round(SUM(match) / COUNT(*), 6) AS match_rate,
                    round(AVG(match_confidence), 6) AS avg_confidence
             FROM decided
+        """,
+        "corpus_clean": f"""
+            WITH d0 AS (SELECT doc_id, {_TOKS} AS w, text FROM documents),
+            sh AS (SELECT doc_id, {_SHINGLES} AS s FROM d0),
+            ex AS (SELECT doc_id, len(s) AS n, unnest(s) AS shingle FROM sh),
+            pairs AS (
+              SELECT a.doc_id AS l, b.doc_id AS r, a.n AS na, b.n AS nb,
+                     COUNT(*) AS common
+              FROM ex a JOIN ex b
+                ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+              GROUP BY 1, 2, 3, 4),
+            dups AS (
+              SELECT DISTINCT r AS doc_id FROM pairs
+              WHERE round(CAST(common AS DOUBLE) / (na + nb - common), 6)
+                    >= 0.3),
+            scored AS (
+              SELECT doc_id, len({_TOKS}) AS n_tokens,
+                     {_lang_sql()} AS lang_guess,
+                     {_quality_sql()} AS quality
+              FROM documents)
+            SELECT s.doc_id, s.n_tokens, s.quality
+            FROM scored s
+            WHERE s.quality >= 0.8 AND s.lang_guess = 'en'
+              AND NOT EXISTS (SELECT 1 FROM dups u
+                              WHERE u.doc_id = s.doc_id)
         """,
         "q_cube_events": """
             SELECT event_type, date_trunc('month', ts) AS mon,

@@ -85,6 +85,8 @@ def connected_components(
         ).first()
         return (row["n"], row["h"])
 
+    # eager localCheckpoint measured faster than lazy here: the lazy
+    # variant re-plans the un-materialized frame inside the star joins
     cur = _canon(edges).localCheckpoint(eager=True)
     prev_fp = _fingerprint(cur)
     for _ in range(max_iter):
