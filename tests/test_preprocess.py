@@ -67,3 +67,33 @@ def test_dk_injection_rules(spark):
         "COL price VAL NUM 12.50 COL qty VAL NUM 42 "
         "COL sku VAL ID AB12CD34EF COL w VAL plain"
     )
+
+
+def test_summarize_budget_properties():
+    """Property: output tokens ⊆ input (order preserved), distinct
+    non-marker non-attr tokens ≤ budget, markers+attrs always kept."""
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    word = st.sampled_from(["alpha", "beta", "gamma", "delta", "the",
+                            "rare", "x1", "zz"])
+
+    @settings(max_examples=100, deadline=None)
+    @given(st.lists(word, min_size=0, max_size=12),
+           st.integers(min_value=0, max_value=6))
+    def prop(vals, budget):
+        text = "COL name VAL " + " ".join(vals) if vals else "COL name VAL"
+        idf = {w: (len(w) * 1.0) for w in vals}
+        out = _summarize_one(text, idf, 0.5, max_len=budget)
+        out_toks = out.split()
+        in_toks = text.split()
+        # subsequence check
+        it = iter(in_toks)
+        assert all(t in it for t in out_toks)
+        kept = {t for t in out_toks
+                if t not in ("COL", "VAL", "name")}
+        from ditto_spark.operators.summarize import STOPWORDS
+        assert len({t for t in kept if t.lower() not in STOPWORDS}) <= budget
+        assert out_toks[:3] == ["COL", "name", "VAL"]
+
+    prop()
