@@ -343,10 +343,11 @@ def _text_stats(spark, sf_dir):
 def _mm_frame_plan(spark, sf_dir):
     d = _t(spark, sf_dir, "documents").filter(F.col("doc_id") % 7 == 0)
     dur = F.col("n_chars") * 10
+    # greatest(...,0) guards n_chars=0 (sequence(0,-1,500) throws)
     return d.select(
         "doc_id",
-        F.explode(F.sequence(F.lit(0), dur - 1, F.lit(500)))
-        .alias("frame_ts_ms"),
+        F.explode(F.sequence(F.lit(0), F.greatest(dur - 1, F.lit(0)),
+                             F.lit(500))).alias("frame_ts_ms"),
     )
 
 
@@ -512,6 +513,45 @@ def _corpus_clean(spark, sf_dir):
     )
 
 
+def _q_set_ops(spark, sf_dir):
+    """Relational INTERSECT / EXCEPT / UNION over customer key sets
+    (engine surface beyond the reference's python set ops, SURVEY §2.6)."""
+    c = _t(spark, sf_dir, "customer")
+    building = c.filter(F.col("c_mktsegment") == "BUILDING").select(
+        "c_nationkey")
+    machinery = c.filter(F.col("c_mktsegment") == "MACHINERY").select(
+        "c_nationkey")
+    both = building.intersect(machinery).withColumn("set_op", F.lit("both"))
+    only_b = building.exceptAll(machinery).distinct().withColumn(
+        "set_op", F.lit("building_only"))
+    return both.unionByName(only_b).select("set_op", "c_nationkey")
+
+
+def _q_grouping_sets(spark, sf_dir):
+    o = _t(spark, sf_dir, "orders")
+    return spark.sql(
+        """
+        SELECT o_orderstatus, o_orderpriority, COUNT(*) AS n
+        FROM {o}
+        GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority), ())
+        """,
+        o=o,
+    )
+
+
+def _q_string_funcs(spark, sf_dir):
+    p = _t(spark, sf_dir, "part")
+    return p.select(
+        "p_partkey",
+        F.upper(F.col("p_name")).alias("uname"),
+        F.substring(F.col("p_name"), 1, 5).alias("prefix5"),
+        F.length(F.col("p_name")).alias("name_len"),
+        F.regexp_replace(F.col("p_name"), r"[aeiou]", "_").alias("devowel"),
+        F.lpad(F.col("p_partkey").cast("string"), 8, "0").alias("padded"),
+        F.concat_ws("|", "p_brand", "p_type").alias("brand_type"),
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "q1_pricing_summary": _q1_pricing_summary,
@@ -547,6 +587,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "er_two_table_topk": _er_two_table_topk,
         "er_match_stats": _er_match_stats,
         "corpus_clean": _corpus_clean,
+        "q_set_ops": _q_set_ops,
+        "q_grouping_sets": _q_grouping_sets,
+        "q_string_funcs": _q_string_funcs,
     }
 
 
@@ -559,6 +602,9 @@ _REV = ("CAST(SUM(CAST(l_extendedprice AS DECIMAL(38,6)) * "
 
 _TOKS = ("list_filter(string_split_regex(lower(trim(text)), '\\s+'), "
          "x -> x != '')")
+
+# raw-case tokens (build_idf / _summarize_one do not lowercase)
+_RAWTOKS = "list_filter(string_split_regex(text, '\\s+'), x -> x != '')"
 
 _SHINGLES = (
     "list_distinct(list_transform(range(greatest(len(w)-3,0)+1), "
@@ -637,6 +683,8 @@ def oracle_sql() -> dict[str, str]:
                                  x -> x != ''),
                      t -> CASE
                        WHEN regexp_matches(t, '^[-+]?\\d+$')
+                         AND length(regexp_replace(t, '[-+]', '', 'g'))
+                             <= 18
                          THEN 'NUM ' || CAST(CAST(t AS BIGINT) AS VARCHAR)
                        WHEN regexp_matches(t, '^[-+]?\\d*\\.\\d+$')
                          THEN 'NUM ' || printf('%.2f', CAST(t AS DOUBLE))
@@ -647,10 +695,13 @@ def oracle_sql() -> dict[str, str]:
                        ELSE t END), ' ') AS dk_text
             FROM documents
         """,
+        # raw-case tokens: build_idf/_summarize_one tokenize WITHOUT
+        # lowercasing (only the stopword test lowers), so the oracle
+        # must too or any uppercase corpus diverges
         "er_summarize": f"""
             WITH tok AS (
-              SELECT doc_id, unnest({_TOKS}) AS tok,
-                     generate_subscripts({_TOKS}, 1) AS pos
+              SELECT doc_id, unnest({_RAWTOKS}) AS tok,
+                     generate_subscripts({_RAWTOKS}, 1) AS pos
               FROM documents),
             n AS (SELECT COUNT(*) AS c FROM documents),
             dfreq AS (
@@ -707,8 +758,10 @@ def oracle_sql() -> dict[str, str]:
               SELECT a.id AS left_id, b.id AS right_id,
                      ROW_NUMBER() OVER (PARTITION BY a.id ORDER BY b.id)
                        AS rk
-              FROM d a JOIN d b ON a.id < b.id
-              WHERE {porthash_sql("a.id || '|' || b.id")} % 97 = 0),
+              FROM d a JOIN d b
+                ON {porthash_sql('a.id')} % 64 = {porthash_sql('b.id')} % 64
+               AND a.id < b.id
+              WHERE {porthash_sql("a.id || '|' || b.id")} % 13 = 0),
             neg AS (
               SELECT left_id, right_id FROM negc c
               WHERE rk <= 5 AND NOT EXISTS (
@@ -868,6 +921,37 @@ def oracle_sql() -> dict[str, str]:
             WHERE s.quality >= 0.8 AND s.lang_guess = 'en'
               AND NOT EXISTS (SELECT 1 FROM dups u
                               WHERE u.doc_id = s.doc_id)
+        """,
+        "q_set_ops": """
+            SELECT 'both' AS set_op, c_nationkey FROM (
+              SELECT c_nationkey FROM customer
+              WHERE c_mktsegment = 'BUILDING'
+              INTERSECT
+              SELECT c_nationkey FROM customer
+              WHERE c_mktsegment = 'MACHINERY')
+            UNION ALL
+            SELECT 'building_only' AS set_op, c_nationkey FROM (
+              SELECT DISTINCT c_nationkey FROM (
+                SELECT c_nationkey FROM customer
+                WHERE c_mktsegment = 'BUILDING'
+                EXCEPT ALL
+                SELECT c_nationkey FROM customer
+                WHERE c_mktsegment = 'MACHINERY'))
+        """,
+        "q_grouping_sets": """
+            SELECT o_orderstatus, o_orderpriority, COUNT(*) AS n
+            FROM orders
+            GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority), ())
+        """,
+        "q_string_funcs": """
+            SELECT p_partkey,
+                   upper(p_name) AS uname,
+                   substring(p_name, 1, 5) AS prefix5,
+                   length(p_name) AS name_len,
+                   regexp_replace(p_name, '[aeiou]', '_', 'g') AS devowel,
+                   lpad(CAST(p_partkey AS VARCHAR), 8, '0') AS padded,
+                   concat_ws('|', p_brand, p_type) AS brand_type
+            FROM part
         """,
         "q_cube_events": """
             SELECT event_type, date_trunc('month', ts) AS mon,
@@ -1091,8 +1175,9 @@ def oracle_sql() -> dict[str, str]:
             FROM documents
         """,
         "mm_frame_plan": """
-            SELECT doc_id, unnest(generate_series(0, n_chars * 10 - 1, 500))
-                     AS frame_ts_ms
+            SELECT doc_id,
+                   unnest(generate_series(0,
+                     greatest(n_chars * 10 - 1, 0), 500)) AS frame_ts_ms
             FROM documents WHERE doc_id % 7 = 0
         """,
         "cluster_cc": f"""

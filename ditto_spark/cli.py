@@ -34,12 +34,24 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--output", required=True, help="output dir")
     p.add_argument("--checkpoint", help="stage-checkpoint dir (resumable)")
     p.add_argument("--threshold", type=float, default=0.5)
-    p.add_argument("--minhash-hashes", type=int, default=16)
-    p.add_argument("--minhash-bands", type=int, default=8)
+    # 24 x 6 = 4-row bands; 2-row bands admit ~28% of jaccard-0.2 noise
+    # pairs (see PipelineConfig + BENCH.md methodology note)
+    p.add_argument("--minhash-hashes", type=int, default=24)
+    p.add_argument("--minhash-bands", type=int, default=6)
     p.add_argument("--sn-window", type=int, default=4)
     p.add_argument("--max-bucket-rows", type=int, default=200)
     p.add_argument("--cores", type=int, default=0,
                    help="local[N] cores (0 = existing/default session)")
+    p.add_argument("--backend", choices=["surrogate", "torch"],
+                   default="surrogate",
+                   help="pair scorer: deterministic surrogate or a real "
+                        "Ditto torch checkpoint")
+    p.add_argument("--model-checkpoint",
+                   help="path to the Ditto model checkpoint "
+                        "(required with --backend torch); ship it to "
+                        "executors via --files or shared storage")
+    p.add_argument("--lm", default="roberta-base",
+                   help="HF language model name for --backend torch")
     return p
 
 
@@ -63,17 +75,35 @@ def main(argv: list[str] | None = None) -> int:
     else:
         docs = spark.read.parquet(args.input)
 
+    if args.backend == "torch":
+        if not args.model_checkpoint:
+            print("--backend torch requires --model-checkpoint",
+                  file=sys.stderr)
+            return 2
+        from ditto_spark.operators.scoring import TorchDittoBackend
+
+        ckpt, lm = args.model_checkpoint, args.lm
+
+        def backend_factory():
+            return TorchDittoBackend(ckpt, lm=lm)
+    else:
+        from ditto_spark.operators.scoring import SurrogateBackend
+
+        backend_factory = SurrogateBackend
+
     cfg = PipelineConfig(
         threshold=args.threshold,
         minhash_hashes=args.minhash_hashes,
         minhash_bands=args.minhash_bands,
         sn_window=args.sn_window,
         max_bucket_rows=args.max_bucket_rows,
+        backend_factory=backend_factory,
     )
     store = (CheckpointStore(spark, args.checkpoint)
              if args.checkpoint else None)
+    input_id = args.input or f"synthetic:{args.synthetic}"
     t0 = time.monotonic()
-    out = run_pipeline(spark, docs, cfg, store=store)
+    out = run_pipeline(spark, docs, cfg, store=store, input_id=input_id)
     write_matches_table(out["matches"], f"{args.output}/matches")
     out["entities"].write.mode("overwrite").parquet(
         f"{args.output}/entities")

@@ -63,8 +63,10 @@ def lang_id(col: Column) -> Column:
     scores = lang_scores(col)
     best_lang = F.lit("und")
     best_score = F.lit(0)
-    # iterate reversed so earlier profiles win ties
-    for lang, score in reversed(scores):
+    # forward iteration with strict '>' means the EARLIEST profile wins
+    # ties (a later equal score never replaces) — matching the oracle's
+    # CASE chain ordering
+    for lang, score in scores:
         take = score > best_score
         best_lang = F.when(take, F.lit(lang)).otherwise(best_lang)
         best_score = F.when(take, score).otherwise(best_score)
@@ -118,8 +120,10 @@ FP_MOD = 1_000_000_007
 def fingerprint(col: Column) -> Column:
     """Order-sensitive document fingerprint: position-weighted sum of
     portable word hashes mod 1e9+7 (a rolling-hash family member that is
-    exactly reproducible in SQL; overflow-safe under ANSI mode: each term
-    < 1e9 * n_words)."""
+    exactly reproducible in SQL). The accumulator reduces mod FP_MOD at
+    every step, so the running value stays < 1e9 + term (term < 1e9 * n;
+    no int64 overflow under ANSI for any document below ~9e9 tokens);
+    modular addition makes this equal to the oracle's sum-then-mod."""
     toks = ws_tokens(col)
     idx = F.sequence(F.lit(1), F.size(toks))
     terms = F.zip_with(
@@ -127,4 +131,4 @@ def fingerprint(col: Column) -> Column:
         lambda t, i: (porthash(t) % FP_MOD) * i,
     )
     return F.aggregate(terms, F.lit(0).cast("long"),
-                       lambda acc, x: acc + x) % FP_MOD
+                       lambda acc, x: (acc + x) % FP_MOD)

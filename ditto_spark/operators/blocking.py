@@ -28,7 +28,7 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
-from ditto_spark.operators.hashing import porthash, porthash_seed
+from ditto_spark.operators.hashing import porthash
 
 
 # ---------------------------------------------------------------------------
@@ -284,24 +284,6 @@ def minhash_signature(base_hashes: Column, n_hashes: int = 16) -> Column:
                            + F.element_at(b_arr, i + 1)) % MERSENNE31,
             )
         ),
-    )
-
-
-def band_keys(sig: Column, bands: int, rows_per_band: int) -> Column:
-    """LSH banding: hash each band of the signature to one bucket key."""
-    return F.array(
-        *[
-            F.concat_ws(
-                "_",
-                F.lit(str(b)),
-                F.md5(F.concat_ws(
-                    ",",
-                    *[F.element_at(sig, b * rows_per_band + r + 1).cast("string")
-                      for r in range(rows_per_band)],
-                )),
-            )
-            for b in range(bands)
-        ]
     )
 
 

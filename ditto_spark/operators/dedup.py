@@ -25,7 +25,7 @@ from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 from ditto_spark.operators.blocking import minhash_signature, shingles, tokenize
-from ditto_spark.operators.hashing import porthash, porthash_seed
+from ditto_spark.operators.hashing import porthash
 
 
 def exact_duplicates(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
@@ -73,16 +73,16 @@ def ngram_jaccard_pairs(
         .withColumn("shingle", F.concat_ws(" ", F.col("tok"), *leads))
         .filter(F.col("_last").isNotNull() | (F.col("pos") == 0))
     )
-    # distinct shingles per doc + per-doc shingle counts (reuses the
-    # hashpartitioning(id) laid down by the window)
-    ex = (
-        shingled.select("id", "shingle").distinct()
-        .withColumn("n_sh", F.count("*").over(Window.partitionBy("id")))
-    )
+    # distinct shingles per doc; drop ultra-frequent shingles BEFORE
+    # counting so numerator and denominator see the same shingle set
+    # (dropping after the count would bias jaccard downward for docs
+    # containing frequent shingles)
+    ex = shingled.select("id", "shingle").distinct()
     if max_shingle_df is not None:
         heavy = (ex.groupBy("shingle").agg(F.count("*").alias("c"))
                  .filter(F.col("c") > max_shingle_df).select("shingle"))
         ex = ex.join(heavy, "shingle", "left_anti")
+    ex = ex.withColumn("n_sh", F.count("*").over(Window.partitionBy("id")))
     a = ex.select(F.col("id").alias("left_id"), F.col("n_sh").alias("na"),
                   "shingle")
     b = ex.select(F.col("id").alias("right_id"), F.col("n_sh").alias("nb"),
@@ -150,33 +150,10 @@ def minhash_near_dups(
     )
 
 
-def simhash32(text_col: Column) -> Column:
-    """32-bit SimHash over whitespace tokens: bit b of the portable token
-    hash votes +1/-1; simhash bit = majority sign. Native expression
-    (32 conditional sums over one token array)."""
-    toks = tokenize(text_col)
-    hashes = F.transform(toks, lambda t: porthash(t))
-
-    def bit_vote(bit: int):
-        def merge(s, h):
-            return s + F.when(
-                F.shiftright(h, bit).bitwiseAND(F.lit(1)) == 1, 1
-            ).otherwise(-1)
-        return merge
-
-    acc = F.lit(0).cast("long")
-    for b in range(32):
-        votes = F.aggregate(hashes, F.lit(0).cast("long"), bit_vote(b))
-        acc = acc + F.when(votes > 0, F.lit(2 ** b).cast("long")
-                           ).otherwise(F.lit(0).cast("long"))
-    return acc
-
-
 def simhash_df(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
     """(id, simhash) via posexplode + one groupBy with 32 conditional-sum
-    aggregates — the whole-stage-codegen formulation of simhash32 (the
-    column-expression variant keeps the same math but pays interpreted
-    higher-order-function cost per token; use it only for small inputs)."""
+    aggregates (whole-stage codegen; an interpreted HOF formulation of
+    the same math costs ~10x per token)."""
     toks = df.select(
         F.col(id_col).alias("id"),
         F.explode(tokenize(F.col(text_col))).alias("tok"),

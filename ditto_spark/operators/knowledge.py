@@ -40,8 +40,14 @@ def dk_token(t: Column) -> Column:
     other  -> token unchanged
     """
     as_float = t.cast("double")
+    # int rewrite only when the token fits int64 (<= 18 digits); longer
+    # digit runs pass through unchanged — casting would null out (or,
+    # under ANSI, throw on) e.g. 20-digit order numbers and concat_ws
+    # would silently delete the token
+    int_ok = t.rlike(_INT) & (F.length(F.regexp_replace(t, r"[-+]", ""))
+                              <= 18)
     return (
-        F.when(t.rlike(_INT),
+        F.when(int_ok,
                F.concat(F.lit("NUM "),
                         F.format_string("%d", t.cast("long"))))
         .when(t.rlike(_FLOAT),

@@ -64,29 +64,38 @@ def positive_pairs(
 def negative_pairs(
     docs: DataFrame,
     positives: DataFrame,
-    sample_mod: int = 97,
+    sample_mod: int = 13,
     id_col: str = "doc_id",
     text_col: str = "text",
     max_per_doc: int = 5,
+    n_buckets: int = 64,
 ) -> DataFrame:
     """Deterministic 'random' non-matching pairs.
 
     The reference rejection-samples with a seeded RNG (csv_to_ditto.py:
-    110-123); distributed, we take the hash-sampled slice of the pair
-    space — pairs whose portable pair-hash ≡ 0 (mod sample_mod) — capped
-    per doc, then anti-join the positives (the rejection test).
+    110-123). Distributed, the candidate space is restricted to pairs
+    sharing a hash bucket (an EQUI-join on porthash(id) % n_buckets —
+    never a theta-join over the full n^2 pair space), thinned by the
+    pair-hash mod filter, capped per doc, then anti-joined against the
+    positives (the rejection test). Every step is a pure function of the
+    ids, so the sample is seed-stable and partition-independent. Size
+    n_buckets ~ n/desired_bucket_rows so bucket joins stay bounded.
     """
     ids = docs.select(F.col(id_col).alias("id"),
-                      F.col(text_col).alias("txt"))
+                      F.col(text_col).alias("txt")).withColumn(
+        "_b", porthash(F.col("id")) % n_buckets)
     a = ids.select(F.col("id").alias("left_id"),
-                   F.col("txt").alias("left_text"))
+                   F.col("txt").alias("left_text"), "_b")
     b = ids.select(F.col("id").alias("right_id"),
-                   F.col("txt").alias("right_text"))
+                   F.col("txt").alias("right_text"),
+                   F.col("_b").alias("_b2"))
     pair_hash = porthash(F.concat_ws("|", F.col("left_id"),
                                      F.col("right_id")))
     cands = (
-        a.join(b, F.col("left_id") < F.col("right_id"))
+        a.join(b, (F.col("_b") == F.col("_b2"))
+               & (F.col("left_id") < F.col("right_id")))
         .filter(pair_hash % sample_mod == 0)
+        .drop("_b", "_b2")
     )
     from pyspark.sql import Window
 

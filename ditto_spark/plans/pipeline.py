@@ -62,13 +62,21 @@ def run_pipeline(
     docs: DataFrame,
     cfg: PipelineConfig | None = None,
     store: CheckpointStore | None = None,
+    input_id: str = "",
 ) -> dict[str, DataFrame]:
     """Returns {'serialized', 'candidates', 'scored', 'matches',
     'entities'} DataFrames. With ``store`` set, every stage checkpoints
-    and resumes idempotently."""
+    and resumes idempotently.
+
+    Stage fingerprints CHAIN: each includes its upstream stage's
+    fingerprint plus its own config, and the root includes ``input_id``
+    (an identifier of the input table — path, snapshot id, …). A change
+    to any upstream config or to the input invalidates every downstream
+    checkpoint; pass the same ``input_id`` only for the same input.
+    """
     cfg = cfg or PipelineConfig()
 
-    def ck(name: str, fp_parts: tuple, build, partition_by=None) -> DataFrame:
+    def ck(name: str, fp: str, build, partition_by=None) -> DataFrame:
         if store is None:
             # no checkpoint store: still materialize each stage once —
             # serialized feeds two blocking passes and candidates feed
@@ -76,14 +84,16 @@ def run_pipeline(
             # costs ~2-3x (the in-memory analog of the reference's
             # .su/.dk stage caches, summarize.py:129-135)
             return build().localCheckpoint(eager=False)
-        return store.stage(name, fingerprint_of(*fp_parts), build,
-                           partition_by)
+        return store.stage(name, fp, build, partition_by)
+
+    backend_name = getattr(cfg.backend_factory, "__name__",
+                           repr(cfg.backend_factory))
 
     # 1. serialize (drop_empty per reference matcher.py:53-57)
-    serialized = ck(
-        "serialized", ("serialize", cfg.use_dk, cfg.use_summarizer),
-        lambda: _preprocess(spark, docs, cfg),
-    )
+    fp_ser = fingerprint_of("serialize", input_id, cfg.use_dk,
+                            cfg.use_summarizer, cfg.summarizer_max_len)
+    serialized = ck("serialized", fp_ser,
+                    lambda: _preprocess(spark, docs, cfg))
 
     # 2. blocking: two passes, unioned + deduped
     def build_candidates() -> DataFrame:
@@ -94,24 +104,25 @@ def run_pipeline(
         sn = B.sorted_neighborhood(serialized, sn_key(), window=cfg.sn_window)
         return B.union_candidates(mh, sn)
 
-    candidates = ck(
-        "candidates",
-        ("block", cfg.minhash_hashes, cfg.minhash_bands, cfg.shingle_n,
-         cfg.sn_window, cfg.max_bucket_rows),
-        build_candidates,
-    )
+    fp_cand = fingerprint_of("block", fp_ser, cfg.minhash_hashes,
+                             cfg.minhash_bands, cfg.shingle_n,
+                             cfg.sn_window, cfg.max_bucket_rows)
+    candidates = ck("candidates", fp_cand, build_candidates)
 
     # 3. score
+    fp_scored = fingerprint_of("score", fp_cand, cfg.threshold,
+                               backend_name)
     scored = ck(
-        "scored", ("score", cfg.threshold),
+        "scored", fp_scored,
         lambda: score_pairs(candidates, cfg.threshold, cfg.backend_factory),
     )
     matches = scored.select("left_id", "right_id", "match",
                             "match_confidence")
 
     # 4. transitive clustering
+    fp_ent = fingerprint_of("cluster", fp_scored)
     entities = ck(
-        "entities", ("cluster", cfg.threshold),
+        "entities", fp_ent,
         lambda: assign_entities(docs.select("doc_id"), scored),
     )
 

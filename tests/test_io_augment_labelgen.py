@@ -98,7 +98,8 @@ def test_labelgen_end_to_end(spark):
     got = {(r.left_id, r.right_id) for r in pos.collect()}
     assert got == {("d1", "d2")}  # d3 overlap 2/4 = 0.5 <= 0.7
 
-    neg = negative_pairs(docs, pos, sample_mod=1)  # sample everything
+    # n_buckets=1 + sample_mod=1: sample the whole pair space
+    neg = negative_pairs(docs, pos, sample_mod=1, n_buckets=1)
     neg_pairs = {(r.left_id, r.right_id) for r in neg.collect()}
     assert ("d1", "d2") not in neg_pairs and len(neg_pairs) > 0
 

@@ -134,3 +134,26 @@ def test_pipeline_with_summarizer_and_tuned_threshold(spark):
         "p1", (F.col("cl") == F.col("cr")).cast("int").alias("label"))
     th = tune_threshold(scored, label_col="label")
     assert 0.0 <= th <= 0.95
+
+
+def test_fingerprints_chain_downstream(spark, tmp_path):
+    """Upstream config/input changes must invalidate every downstream
+    checkpoint (review finding: unchained fingerprints silently served
+    stale scored/entities after a blocking-config change)."""
+    docs = docs_df(spark, n_entities=15)
+    base = str(tmp_path / "ck3")
+    run_pipeline(spark, docs, PipelineConfig(), input_id="fixture15",
+                 store=CheckpointStore(spark, base))
+
+    # blocking config change -> candidates AND scored AND entities
+    s = CheckpointStore(spark, base)
+    run_pipeline(spark, docs, PipelineConfig(minhash_bands=4),
+                 input_id="fixture15", store=s)
+    assert set(s.recomputed) == {"candidates", "scored", "entities"}
+
+    # input change -> everything
+    s2 = CheckpointStore(spark, base)
+    run_pipeline(spark, docs, PipelineConfig(minhash_bands=4),
+                 input_id="other-input", store=s2)
+    assert set(s2.recomputed) == {"serialized", "candidates", "scored",
+                                  "entities"}
