@@ -552,6 +552,24 @@ def _q_string_funcs(spark, sf_dir):
     )
 
 
+def _q_correlated(spark, sf_dir):
+    """Correlated scalar subquery (TPC-H q2/q17 shape) through Spark SQL
+    — Catalyst decorrelates it into an aggregate + join."""
+    p = _t(spark, sf_dir, "part")
+    li = _t(spark, sf_dir, "lineitem")
+    return spark.sql(
+        """
+        SELECT p.p_partkey, p.p_brand,
+               (SELECT MAX(l.l_quantity) FROM {li} l
+                WHERE l.l_partkey = p.p_partkey) AS max_qty
+        FROM {p} p
+        WHERE (SELECT MAX(l.l_quantity) FROM {li} l
+               WHERE l.l_partkey = p.p_partkey) >= 48
+        """,
+        p=p, li=li,
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "q1_pricing_summary": _q1_pricing_summary,
@@ -588,6 +606,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "er_match_stats": _er_match_stats,
         "corpus_clean": _corpus_clean,
         "q_set_ops": _q_set_ops,
+        "q_correlated": _q_correlated,
         "q_grouping_sets": _q_grouping_sets,
         "q_string_funcs": _q_string_funcs,
     }
@@ -921,6 +940,14 @@ def oracle_sql() -> dict[str, str]:
             WHERE s.quality >= 0.8 AND s.lang_guess = 'en'
               AND NOT EXISTS (SELECT 1 FROM dups u
                               WHERE u.doc_id = s.doc_id)
+        """,
+        "q_correlated": """
+            SELECT p.p_partkey, p.p_brand,
+                   (SELECT MAX(l.l_quantity) FROM lineitem l
+                    WHERE l.l_partkey = p.p_partkey) AS max_qty
+            FROM part p
+            WHERE (SELECT MAX(l.l_quantity) FROM lineitem l
+                   WHERE l.l_partkey = p.p_partkey) >= 48
         """,
         "q_set_ops": """
             SELECT 'both' AS set_op, c_nationkey FROM (

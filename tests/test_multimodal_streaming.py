@@ -88,3 +88,47 @@ def test_streaming_dedup_and_metrics(spark, tmp_path):
     run_to_sink(dedup_stream(read_doc_stream(spark, src)), out1,
                 str(tmp_path / "ck1"))
     assert spark.read.parquet(out1).count() == 2
+
+
+def test_incremental_er_stream(spark, tmp_path):
+    """New docs streamed against a static corpus index: duplicates of
+    corpus entities must match; restart drains are idempotent."""
+    from ditto_spark.schema import DOC_SCHEMA
+    from ditto_spark.streaming.incremental_er import (
+        build_corpus_index,
+        incremental_matches,
+    )
+    from ditto_spark.synth import docs_df
+
+    corpus = docs_df(spark, n_entities=25, seed=9)
+    idx = str(tmp_path / "index")
+    build_corpus_index(corpus, idx)
+
+    # stream = near-copies of two corpus docs + one novel doc
+    base = {r.doc_id: r.spans for r in corpus.collect()}
+    def respan(spans, drop_last=False):
+        out = [(s.kind, s.text, s.media_ref, s.offset) for s in spans]
+        return out[:-1] if drop_last and len(out) > 1 else out
+    new_rows = [
+        ("new1", respan(base["d000000"])),               # exact dup
+        ("new2", respan(base["d000003"], drop_last=True)),  # near dup
+        ("new3", [("name", "zzz qqq totally novel", None, 0)]),
+    ]
+    src = str(tmp_path / "stream_in")
+    spark.createDataFrame(new_rows, DOC_SCHEMA).write.mode(
+        "append").parquet(src)
+
+    stream = spark.readStream.schema(DOC_SCHEMA).parquet(src)
+    out = str(tmp_path / "matches")
+    ck = str(tmp_path / "ck")
+    incremental_matches(spark, stream, idx, out, ck)
+    got = spark.read.parquet(out)
+    matched = {r.left_id for r in got.filter("match = 1").collect()}
+    assert "new1" in matched and "new2" in matched
+    assert "new3" not in matched
+    n1 = got.count()
+
+    # drain again with no new files: checkpoint makes it a no-op
+    stream2 = spark.readStream.schema(DOC_SCHEMA).parquet(src)
+    incremental_matches(spark, stream2, idx, out, ck)
+    assert spark.read.parquet(out).count() == n1
