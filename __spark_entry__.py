@@ -106,12 +106,13 @@ def _q1_pricing_summary(spark, sf_dir):
         li.filter(F.col("l_shipdate") <= "1999-12-01")
         .groupBy("l_returnflag", "l_linestatus")
         .agg(
-            F.sum(_dec(F.col("l_quantity"))).cast("double").alias("sum_qty"),
-            F.sum(_dec(F.col("l_extendedprice"))).cast("double")
+            F.round(F.sum(_dec(F.col("l_quantity"))).cast("double"), 2)
+            .alias("sum_qty"),
+            F.round(F.sum(_dec(F.col("l_extendedprice"))).cast("double"), 2)
             .alias("sum_base_price"),
-            F.sum(_dec(F.col("l_extendedprice"), 38, 6)
-                  * _dec(1 - F.col("l_discount"), 38, 6))
-            .cast("double").alias("sum_disc_price"),
+            F.round(F.sum(_dec(F.col("l_extendedprice"), 38, 6)
+                         * _dec(1 - F.col("l_discount"), 38, 6))
+                    .cast("double"), 2).alias("sum_disc_price"),
             F.count("*").alias("count_order"),
         )
         .orderBy("l_returnflag", "l_linestatus")
@@ -129,9 +130,9 @@ def _q3_top_unshipped(spark, sf_dir):
         .join(F.broadcast(c), o.o_custkey == c.c_custkey)
         .groupBy("l_orderkey", "o_orderdate")
         .agg(
-            F.sum(_dec(F.col("l_extendedprice"), 38, 6)
-                  * _dec(1 - F.col("l_discount"), 38, 6))
-            .cast("double").alias("revenue"))
+            F.round(F.sum(_dec(F.col("l_extendedprice"), 38, 6)
+                         * _dec(1 - F.col("l_discount"), 38, 6))
+                    .cast("double"), 2).alias("revenue"))
         .orderBy(F.desc("revenue"), F.asc("l_orderkey"))
         .limit(10)
     )
@@ -153,9 +154,9 @@ def _q5_region_revenue(spark, sf_dir):
         .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
         .groupBy("n_name")
         .agg(
-            F.sum(_dec(F.col("l_extendedprice"), 38, 6)
-                  * _dec(1 - F.col("l_discount"), 38, 6))
-            .cast("double").alias("revenue"))
+            F.round(F.sum(_dec(F.col("l_extendedprice"), 38, 6)
+                         * _dec(1 - F.col("l_discount"), 38, 6))
+                    .cast("double"), 2).alias("revenue"))
         .orderBy(F.desc("revenue"), F.asc("n_name"))
     )
 
@@ -183,7 +184,7 @@ def _q_rollup_orders(spark, sf_dir):
     return (
         o.rollup("o_orderstatus", "o_orderpriority")
         .agg(F.count("*").alias("n_orders"),
-             F.sum(_dec(F.col("o_totalprice"))).cast("double")
+             F.round(F.sum(_dec(F.col("o_totalprice"))).cast("double"), 2)
              .alias("total_price"))
     )
 
@@ -220,7 +221,8 @@ def _q_events_daily(spark, sf_dir):
     return (
         e.groupBy(F.date_trunc("day", F.col("ts")).alias("day"), "event_type")
         .agg(F.count("*").alias("n_events"),
-             F.sum(_dec(F.col("value"))).cast("double").alias("sum_value"))
+             F.round(F.sum(_dec(F.col("value"))).cast("double"), 2)
+             .alias("sum_value"))
     )
 
 
@@ -455,7 +457,8 @@ def _q_cube_events(spark, sf_dir):
     return (
         e.cube("event_type", F.date_trunc("month", F.col("ts")).alias("mon"))
         .agg(F.count("*").alias("n"),
-             F.sum(_dec(F.col("value"))).cast("double").alias("sum_value"))
+             F.round(F.sum(_dec(F.col("value"))).cast("double"), 2)
+             .alias("sum_value"))
     )
 
 
@@ -616,8 +619,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 # DuckDB oracles
 # ---------------------------------------------------------------------------
 
-_REV = ("CAST(SUM(CAST(l_extendedprice AS DECIMAL(38,6)) * "
-        "CAST(1 - l_discount AS DECIMAL(38,6))) AS DOUBLE)")
+_REV = ("round(CAST(SUM(CAST(l_extendedprice AS DECIMAL(38,6)) * "
+        "CAST(1 - l_discount AS DECIMAL(38,6))) AS DOUBLE), 2)")
 
 _TOKS = ("list_filter(string_split_regex(lower(trim(text)), '\\s+'), "
          "x -> x != '')")
@@ -983,17 +986,17 @@ def oracle_sql() -> dict[str, str]:
         "q_cube_events": """
             SELECT event_type, date_trunc('month', ts) AS mon,
                    COUNT(*) AS n,
-                   CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE)
+                   round(CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE), 2)
                      AS sum_value
             FROM events
             GROUP BY CUBE (event_type, date_trunc('month', ts))
         """,
         "q1_pricing_summary": f"""
             SELECT l_returnflag, l_linestatus,
-                   CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE)
+                   round(CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE), 2)
                      AS sum_qty,
-                   CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE)
-                     AS sum_base_price,
+                   round(CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE),
+                         2) AS sum_base_price,
                    {_REV} AS sum_disc_price,
                    COUNT(*) AS count_order
             FROM lineitem WHERE l_shipdate <= TIMESTAMP '1999-12-01'
@@ -1034,7 +1037,7 @@ def oracle_sql() -> dict[str, str]:
         """,
         "q_rollup_orders": """
             SELECT o_orderstatus, o_orderpriority, COUNT(*) AS n_orders,
-                   CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
+                   round(CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE), 2)
                      AS total_price
             FROM orders GROUP BY ROLLUP (o_orderstatus, o_orderpriority)
         """,
@@ -1056,7 +1059,7 @@ def oracle_sql() -> dict[str, str]:
         "q_events_daily": """
             SELECT date_trunc('day', ts) AS day, event_type,
                    COUNT(*) AS n_events,
-                   CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE)
+                   round(CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE), 2)
                      AS sum_value
             FROM events GROUP BY 1, 2
         """,

@@ -152,7 +152,12 @@ def global_rank(df: DataFrame, key: Column, id_col: str = "doc_id",
         .withColumn("_pid", F.spark_partition_id())
     )
     w = Window.partitionBy("_pid").orderBy(F.col("_k"), F.col(id_col))
-    ranked = parted.withColumn("_rn_in", F.row_number().over(w))
+    # cache BEFORE branching into (ranked, counts): repartitionByRange
+    # samples to pick boundaries, and a re-executed exchange (AQE may not
+    # reuse it) can sample DIFFERENT boundaries — offsets keyed on _pid
+    # would then disagree with the main branch and produce duplicate or
+    # missing ranks (observed at sf0.1)
+    ranked = parted.withColumn("_rn_in", F.row_number().over(w)).cache()
     counts = ranked.groupBy("_pid").agg(F.count("*").alias("_cnt"))
     offsets = counts.withColumn(
         "_off",
