@@ -1,0 +1,57 @@
+"""Edge/robustness: unicode text, empty docs, null keys, whitespace."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from ditto_spark.operators.blocking import key_blocking, minhash_band_buckets
+from ditto_spark.operators.serialize import parse_serialized, serialize_docs
+from ditto_spark.plans.pipeline import PipelineConfig, run_pipeline
+from ditto_spark.schema import DOC_SCHEMA
+
+
+def test_unicode_round_trip_and_hashing(spark):
+    docs = spark.createDataFrame(
+        [("u1", [("name", "Müller Δοκιμή 北京", None, 0),
+                 ("note", "naïve — résumé 🚀", None, 1)]),
+         ("u2", [("name", "Müller Δοκιμή 北京", None, 0),
+                 ("note", "naïve — résumé 🚀", None, 1)])],
+        DOC_SCHEMA)
+    ser = serialize_docs(docs, drop_empty=True)
+    rows = {r.doc_id: r.text for r in ser.collect()}
+    assert "Müller Δοκιμή 北京" in rows["u1"]
+    parsed = ser.withColumn("p", parse_serialized(F.col("text"))).first().p
+    assert parsed[0].text == "Müller Δοκιμή 北京"
+    # identical unicode docs produce identical band keys (deterministic
+    # utf-8 hashing end to end)
+    keys = minhash_band_buckets(ser.select("doc_id", "text"))
+    by_doc = {}
+    for r in keys.collect():
+        by_doc.setdefault(r.id, set()).add(r.block_key)
+    assert by_doc["u1"] == by_doc["u2"]
+
+
+def test_pipeline_survives_pathological_docs(spark):
+    rows = [
+        ("p1", [("name", "", None, 0)]),                      # empty value
+        ("p2", [("name", "   ", None, 0)]),                   # whitespace
+        ("p3", [("name", None, None, 0)]),                    # null text
+        ("p4", [("m", "", "img://x/1.jpg", 0)]),              # media only
+        ("p5", [("name", "ann lee", None, 0),
+                ("addr", "1 oak st", None, 1)]),              # normal
+        ("p6", [("name", "ann lee", None, 0),
+                ("addr", "1 oak st", None, 1)]),              # its dup
+    ]
+    docs = spark.createDataFrame(rows, DOC_SCHEMA)
+    out = run_pipeline(spark, docs, PipelineConfig(sn_window=2))
+    ents = {r.doc_id: r.entity_id for r in out["entities"].collect()}
+    assert set(ents) == {f"p{i}" for i in range(1, 7)}  # nobody dropped
+    assert ents["p5"] == ents["p6"]  # the real dup pair still resolves
+
+
+def test_key_blocking_null_and_empty_keys_filtered(spark):
+    df = spark.createDataFrame(
+        [("a", "t", "k1"), ("b", "t", None), ("c", "t", ""), ("d", "t", "k1")],
+        "doc_id string, text string, k string")
+    pairs = key_blocking(df, F.col("k")).collect()
+    assert {(p.left_id, p.right_id) for p in pairs} == {("a", "d")}
