@@ -525,7 +525,9 @@ def _q_set_ops(spark, sf_dir):
     machinery = c.filter(F.col("c_mktsegment") == "MACHINERY").select(
         "c_nationkey")
     both = building.intersect(machinery).withColumn("set_op", F.lit("both"))
-    only_b = building.exceptAll(machinery).distinct().withColumn(
+    # set EXCEPT (subtract), not EXCEPT ALL: 'building_only' must mean
+    # the key appears in NO machinery row, not merely more often
+    only_b = building.subtract(machinery).withColumn(
         "set_op", F.lit("building_only"))
     return both.unionByName(only_b).select("set_op", "c_nationkey")
 
@@ -961,12 +963,11 @@ def oracle_sql() -> dict[str, str]:
               WHERE c_mktsegment = 'MACHINERY')
             UNION ALL
             SELECT 'building_only' AS set_op, c_nationkey FROM (
-              SELECT DISTINCT c_nationkey FROM (
-                SELECT c_nationkey FROM customer
-                WHERE c_mktsegment = 'BUILDING'
-                EXCEPT ALL
-                SELECT c_nationkey FROM customer
-                WHERE c_mktsegment = 'MACHINERY'))
+              SELECT c_nationkey FROM customer
+              WHERE c_mktsegment = 'BUILDING'
+              EXCEPT
+              SELECT c_nationkey FROM customer
+              WHERE c_mktsegment = 'MACHINERY')
         """,
         "q_grouping_sets": """
             SELECT o_orderstatus, o_orderpriority, COUNT(*) AS n

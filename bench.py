@@ -98,6 +98,9 @@ def _pipeline_throughput(cores: int, n_docs: int) -> float:
     warm = distributed_docs(spark, 500, seed=3).localCheckpoint()
     run_pipeline(spark, warm, PipelineConfig(sn_window=2))[
         "entities"].write.format("noop").mode("overwrite").save()
+    from ditto_spark.session import clear_operator_caches
+
+    clear_operator_caches(spark)
     docs = distributed_docs(spark, n_docs, seed=11).localCheckpoint()
     t0 = time.monotonic()
     out = run_pipeline(spark, docs, PipelineConfig(sn_window=2))
@@ -107,7 +110,7 @@ def _pipeline_throughput(cores: int, n_docs: int) -> float:
     return n_docs / dt
 
 
-def run_scaling(n_docs: int = 150000) -> dict:
+def run_scaling(n_docs: int = 300000) -> dict:
     lo, hi = 8, 32
     tp_lo = _pipeline_throughput(lo, n_docs)
     tp_hi = _pipeline_throughput(hi, n_docs)

@@ -86,6 +86,9 @@ def main(argv: list[str] | None = None) -> int:
 
         def backend_factory():
             return TorchDittoBackend(ckpt, lm=lm)
+
+        # checkpoint fingerprints must see WHICH model scores the pairs
+        backend_factory.fingerprint = f"torch:{ckpt}:{lm}"
     else:
         from ditto_spark.operators.scoring import SurrogateBackend
 

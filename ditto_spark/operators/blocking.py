@@ -299,6 +299,7 @@ def minhash_band_buckets(
     n_hashes: int = 16,
     bands: int = 4,
     shingle_n: int = 3,
+    drop_marker_tokens: bool = True,
 ) -> DataFrame:
     """(id, band_key) — one row per LSH band per doc, computed entirely
     inside whole-stage codegen (no interpreted higher-order lambdas,
@@ -316,7 +317,8 @@ def minhash_band_buckets(
     rows = n_hashes // bands
     toks = df.select(
         F.col(id_col).alias("id"),
-        F.posexplode(tokenize(F.col(text_col), drop_markers=True)
+        F.posexplode(tokenize(F.col(text_col),
+                              drop_markers=drop_marker_tokens)
                      ).alias("pos", "tok"),
     ).withColumn("h", F.pmod(F.xxhash64("tok"), F.lit(MERSENNE31)))
     w = Window.partitionBy("id").orderBy("pos")
@@ -359,6 +361,7 @@ def minhash_lsh_blocking(
     bands: int = 4,
     shingle_n: int = 3,
     max_bucket_rows: int | None = 200,
+    drop_marker_tokens: bool = True,
 ) -> DataFrame:
     """Candidate pairs whose MinHash signatures collide in >=1 band.
 
@@ -367,9 +370,13 @@ def minhash_lsh_blocking(
     -> dropDuplicates. Bucket size capped like key_blocking to bound the
     quadratic worst case; at 100TB the bucket join shuffles once on the
     band key and AQE handles stragglers and skew.
+
+    drop_marker_tokens=True is the serialized-entity default (COL/VAL
+    scaffolding must not enter the signatures); pass False for raw-text
+    corpora where 'col'/'val' are legitimate content words.
     """
     keys = minhash_band_buckets(df, id_col, text_col, n_hashes, bands,
-                                shingle_n)
+                                shingle_n, drop_marker_tokens)
     texts = df.select(F.col(id_col).alias("id"),
                       F.col(text_col).alias("txt"))
     buckets = keys.join(texts, "id")

@@ -129,13 +129,16 @@ def minhash_near_dups(
 ) -> DataFrame:
     """MinHash-LSH candidates verified with exact jaccard: the standard
     two-stage near-dup pipeline (candidate recall from banding, precision
-    from the exact check)."""
+    from the exact check). Raw-text semantics: every token (including
+    'col'/'val' as ordinary words) participates, matching the exact
+    verify stage."""
     from ditto_spark.operators.blocking import minhash_lsh_blocking
 
     cands = minhash_lsh_blocking(
         df.select(F.col(id_col).alias("doc_id"),
                   F.col(text_col).alias("text")),
         n_hashes=n_hashes, bands=bands, shingle_n=n, max_bucket_rows=None,
+        drop_marker_tokens=False,
     )
     sh = F.array_distinct(shingles(tokenize(F.col("left_text")), n))
     sh2 = F.array_distinct(shingles(tokenize(F.col("right_text")), n))

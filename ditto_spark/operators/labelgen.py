@@ -83,7 +83,7 @@ def negative_pairs(
     """
     ids = docs.select(F.col(id_col).alias("id"),
                       F.col(text_col).alias("txt")).withColumn(
-        "_b", porthash(F.col("id")) % n_buckets)
+        "_b", porthash(F.col("id").cast("string")) % n_buckets)
     a = ids.select(F.col("id").alias("left_id"),
                    F.col("txt").alias("left_text"), "_b")
     b = ids.select(F.col("id").alias("right_id"),

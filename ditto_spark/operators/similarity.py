@@ -137,10 +137,12 @@ def ivf_topk(
         train = train.sample(sample_fraction, seed=seed)
     model = KMeans(k=n_cells, seed=seed, featuresCol="features").fit(train)
     centers = [list(map(float, c)) for c in model.clusterCenters()]
-    spark = emb.sparkSession
-    cent_df = F.broadcast(spark.createDataFrame(
-        [(i, c) for i, c in enumerate(centers)],
-        "cell int, centroid array<double>"))
+    # centroids as an array-of-arrays LITERAL: cell assignment is a pure
+    # per-row codegen projection — no crossJoin, no window, no shuffle of
+    # the corpus (n_docs x n_cells distance terms evaluated in place)
+    cent_arr = F.array(*[
+        F.array(*[F.lit(x) for x in c]) for c in centers
+    ])
 
     def dist2(v, c):
         return F.aggregate(
@@ -149,12 +151,26 @@ def ivf_topk(
             F.lit(0.0), lambda a, x: a + x)
 
     def assign(df, n_keep):
-        scored = df.crossJoin(cent_df).withColumn(
-            "_d", dist2(F.col("vec"), F.col("centroid")))
-        w = Window.partitionBy("id").orderBy(F.asc("_d"), F.asc("cell"))
-        return (scored.withColumn("_r", F.row_number().over(w))
-                .filter(F.col("_r") <= n_keep)
-                .select("id", "vec", "cell"))
+        with_d = df.withColumn(
+            "_ds", F.transform(cent_arr, lambda c: dist2(F.col("vec"), c)))
+        if n_keep == 1:
+            # argmin: first index of the minimum (deterministic ties)
+            cell = (F.array_position(F.col("_ds"), F.array_min(F.col("_ds")))
+                    - 1).cast("int")
+            return with_d.select("id", "vec", cell.alias("cell"))
+        ranked = F.slice(
+            F.array_sort(
+                F.zip_with(
+                    F.col("_ds"),
+                    F.sequence(F.lit(0), F.lit(n_cells - 1)),
+                    lambda d, i: F.struct(d.alias("d"), i.alias("cell")),
+                )
+            ),
+            1, n_keep,
+        )
+        return (with_d.select("id", "vec",
+                              F.explode(ranked).alias("_r"))
+                .select("id", "vec", F.col("_r.cell").alias("cell")))
 
     base = assign(
         emb.select(F.col(id_col).alias("id"), F.col(vec_col).alias("vec")),

@@ -86,8 +86,12 @@ def run_pipeline(
             return build().localCheckpoint(eager=False)
         return store.stage(name, fp, build, partition_by)
 
-    backend_name = getattr(cfg.backend_factory, "__name__",
-                           repr(cfg.backend_factory))
+    # a factory can carry an explicit identity (e.g. torch checkpoint
+    # path + lm) via a `fingerprint` attribute; __name__ alone cannot
+    # distinguish two closures over different model paths
+    backend_name = getattr(
+        cfg.backend_factory, "fingerprint", None
+    ) or getattr(cfg.backend_factory, "__name__", repr(cfg.backend_factory))
 
     # 1. serialize (drop_empty per reference matcher.py:53-57)
     fp_ser = fingerprint_of("serialize", input_id, cfg.use_dk,

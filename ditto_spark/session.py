@@ -49,3 +49,12 @@ def get_spark(
         .config("spark.sql.files.maxPartitionBytes", str(128 * 1024 * 1024))
     )
     return builder.getOrCreate()
+
+
+def clear_operator_caches(spark: SparkSession) -> None:
+    """Release the self-join caches blocking operators register
+    (key_blocking / sorted_neighborhood / minhash buckets / global_rank
+    cache their join inputs; Spark never auto-unpersists them). Call
+    between independent pipeline runs in a long-lived session — the
+    CheckpointStore does this automatically after each stage lands."""
+    spark.catalog.clearCache()

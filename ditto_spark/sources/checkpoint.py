@@ -99,6 +99,10 @@ class CheckpointStore:
                 f,
             )
         self.recomputed.append(name)
+        # the stage is durably on disk; operator-internal self-join
+        # caches created while building it are now dead weight — release
+        # them so long-lived sessions don't accumulate InMemoryRelations
+        self.spark.catalog.clearCache()
         return out
 
     # -- introspection ----------------------------------------------------

@@ -62,7 +62,7 @@ def incremental_matches(
     to ``out_path``. availableNow trigger → deterministic drains."""
     index = spark.read.parquet(index_path)
 
-    def process(batch: DataFrame, _batch_id: int) -> None:
+    def process(batch: DataFrame, batch_id: int) -> None:
         ser = batch.withColumn(
             "text", serialize_spans(F.col("spans"), drop_empty=True))
         keys = minhash_band_buckets(ser, "doc_id", "text", n_hashes,
@@ -80,8 +80,11 @@ def incremental_matches(
             .dropDuplicates(["left_id", "right_id"])
         )
         scored = score_pairs(cands, threshold, backend_factory)
+        # idempotent per-batch sink: a batch retried after a crash
+        # OVERWRITES its own partition instead of blind-appending dupes
         (scored.select("left_id", "right_id", "match", "match_confidence")
-         .write.mode("append").parquet(out_path))
+         .write.mode("overwrite")
+         .parquet(f"{out_path}/batch={batch_id}"))
 
     q = (
         stream_docs.writeStream.foreachBatch(process)
