@@ -193,3 +193,24 @@ def test_ivf_topk_recall_and_exactness(spark):
     hit = j.count()
     total = exact.count()
     assert hit / total > 0.9, (hit, total)
+
+
+def test_ivf_multi_probe_full_recall_on_blobs(spark):
+    import random
+
+    from ditto_spark.operators.similarity import ivf_topk
+
+    rng = random.Random(3)
+    centers = [[5, 0, 0, 0], [0, 5, 0, 0], [0, 0, 5, 0], [0, 0, 0, 5]]
+    rows = [(i, [c + rng.gauss(0, 0.3) for c in centers[i % 4]])
+            for i in range(200)]
+    df = spark.createDataFrame(rows, "vec_id int, embedding array<double>")
+    q = df.filter("vec_id < 6")
+    exact = cosine_topk(df, q, k=5)
+    approx = ivf_topk(df, q, k=5, n_cells=4, n_probe=2)
+    j = approx.alias("x").join(
+        exact.alias("e"),
+        (F.col("x.query_id") == F.col("e.query_id"))
+        & (F.col("x.neighbor_id") == F.col("e.neighbor_id")))
+    assert j.count() == exact.count()  # 2-probe covers the blob overlap
+    assert j.filter(F.col("x.cosine") != F.col("e.cosine")).count() == 0
