@@ -575,6 +575,56 @@ def _q_correlated(spark, sf_dir):
     )
 
 
+def _q_date_arithmetic(spark, sf_dir):
+    """Date/interval surface: extraction, truncation, day arithmetic."""
+    o = _t(spark, sf_dir, "orders")
+    return o.select(
+        "o_orderkey",
+        F.year("o_orderdate").alias("yr"),
+        F.month("o_orderdate").alias("mon"),
+        F.dayofweek("o_orderdate").alias("dow"),
+        F.date_format(F.date_add(F.col("o_orderdate").cast("date"), 30),
+                      "yyyy-MM-dd").alias("due_date"),
+        F.datediff(F.lit("2002-01-01").cast("date"),
+                   F.col("o_orderdate").cast("date")).alias("age_days"),
+    )
+
+
+def _q_array_funcs(spark, sf_dir):
+    """Array-function surface over derived token arrays."""
+    d = _t(spark, sf_dir, "documents")
+    toks = F.filter(F.split(F.lower(F.trim(F.col("text"))), r"\s+"),
+                    lambda t: t != F.lit(""))
+    return d.select(
+        "doc_id",
+        F.size(F.array_distinct(toks)).alias("n_distinct"),
+        F.element_at(F.array_sort(F.array_distinct(toks)), 1)
+        .alias("first_token"),
+        F.element_at(F.array_sort(F.array_distinct(toks)), -1)
+        .alias("last_token"),
+        F.array_contains(toks, "spark").cast("int").alias("has_spark"),
+        F.concat_ws(",", F.slice(F.array_sort(F.array_distinct(toks)), 1, 3))
+        .alias("top3_sorted"),
+    )
+
+
+def _q_events_lag_delta(spark, sf_dir):
+    """lag/lead analytics: per-user inter-event gap statistics."""
+    from pyspark.sql import Window
+
+    e = _t(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    gap = (F.unix_timestamp("ts")
+           - F.unix_timestamp(F.lag("ts").over(w))).cast("long")
+    return (
+        e.withColumn("gap", gap)
+        .filter(F.col("gap").isNotNull())
+        .groupBy("user_id")
+        .agg(F.min("gap").alias("min_gap"), F.max("gap").alias("max_gap"),
+             F.sum("gap").alias("sum_gap"), F.count("*").alias("n_gaps"))
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "q1_pricing_summary": _q1_pricing_summary,
@@ -612,6 +662,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "corpus_clean": _corpus_clean,
         "q_set_ops": _q_set_ops,
         "q_correlated": _q_correlated,
+        "q_date_arithmetic": _q_date_arithmetic,
+        "q_array_funcs": _q_array_funcs,
+        "q_events_lag_delta": _q_events_lag_delta,
         "q_grouping_sets": _q_grouping_sets,
         "q_string_funcs": _q_string_funcs,
     }
@@ -946,6 +999,45 @@ def oracle_sql() -> dict[str, str]:
               AND NOT EXISTS (SELECT 1 FROM dups u
                               WHERE u.doc_id = s.doc_id)
         """,
+        "q_date_arithmetic": """
+            SELECT o_orderkey,
+                   CAST(year(o_orderdate) AS INT) AS yr,
+                   CAST(month(o_orderdate) AS INT) AS mon,
+                   CAST(dayofweek(o_orderdate) + 1 AS INT) AS dow,
+                   strftime(CAST(o_orderdate AS DATE) + INTERVAL 30 DAY,
+                            '%Y-%m-%d') AS due_date,
+                   CAST(date_diff('day', CAST(o_orderdate AS DATE),
+                                  DATE '2002-01-01') AS INT) AS age_days
+            FROM orders
+        """,
+        "q_array_funcs": f"""
+            SELECT doc_id,
+                   len(list_distinct({_TOKS})) AS n_distinct,
+                   list_sort(list_distinct({_TOKS}))[1] AS first_token,
+                   list_sort(list_distinct({_TOKS}))[-1] AS last_token,
+                   CASE WHEN list_contains({_TOKS}, 'spark')
+                        THEN 1 ELSE 0 END AS has_spark,
+                   array_to_string(
+                     list_sort(list_distinct({_TOKS}))[1:3], ',')
+                     AS top3_sorted
+            FROM documents
+        """,
+        "q_events_lag_delta": """
+            -- date_diff('second') == floor(a)-floor(b), matching Spark's
+            -- unix_timestamp subtraction; epoch() is fractional and
+            -- diverges on sub-second timestamps
+            WITH g AS (
+              SELECT user_id,
+                     date_diff('second',
+                       LAG(ts) OVER (PARTITION BY user_id
+                                     ORDER BY ts, event_id), ts) AS gap
+              FROM events)
+            SELECT user_id, CAST(MIN(gap) AS BIGINT) AS min_gap,
+                   CAST(MAX(gap) AS BIGINT) AS max_gap,
+                   CAST(SUM(gap) AS BIGINT) AS sum_gap,
+                   COUNT(*) AS n_gaps
+            FROM g WHERE gap IS NOT NULL GROUP BY 1
+        """,
         "q_correlated": """
             SELECT p.p_partkey, p.p_brand,
                    (SELECT MAX(l.l_quantity) FROM lineitem l
@@ -1065,10 +1157,13 @@ def oracle_sql() -> dict[str, str]:
             FROM events GROUP BY 1, 2
         """,
         "q_events_sessions": """
+            -- date_diff('second') matches Spark's truncated
+            -- unix_timestamp difference (epoch() is fractional)
             WITH g AS (
               SELECT user_id,
-                     CASE WHEN epoch(ts) - epoch(LAG(ts) OVER
-                       (PARTITION BY user_id ORDER BY ts, event_id)) > 1800
+                     CASE WHEN date_diff('second',
+                       LAG(ts) OVER (PARTITION BY user_id
+                                     ORDER BY ts, event_id), ts) > 1800
                        OR LAG(ts) OVER (PARTITION BY user_id
                          ORDER BY ts, event_id) IS NULL
                      THEN 1 ELSE 0 END AS is_new
