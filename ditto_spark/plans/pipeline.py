@@ -80,10 +80,12 @@ def run_pipeline(
         if store is None:
             # no checkpoint store: still materialize each stage once —
             # serialized feeds two blocking passes and candidates feed
-            # scoring + clustering; recomputing those subtrees per branch
-            # costs ~2-3x (the in-memory analog of the reference's
-            # .su/.dk stage caches, summarize.py:129-135)
-            return build().localCheckpoint(eager=False)
+            # scoring + clustering (the in-memory analog of the
+            # reference's .su/.dk stage caches, summarize.py:129-135).
+            # EAGER: lazy checkpoints let concurrent downstream branches
+            # of one action race to compute the same partitions —
+            # measured 3x slower at 32 cores than eager materialization.
+            return build().localCheckpoint(eager=True)
         return store.stage(name, fp, build, partition_by)
 
     # a factory can carry an explicit identity (e.g. torch checkpoint

@@ -44,10 +44,24 @@ def get_spark(
         .config("spark.sql.shuffle.partitions", str(shuffle_partitions))
         # broadcast small dims automatically; engine also hints explicitly
         .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
-        .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEM", "8g"))
+        # local mode runs ALL executor threads in the driver JVM: size the
+        # heap for 32 concurrent tasks + operator caches, or high-core
+        # runs GC-thrash (measured: local[32] 4x SLOWER than local[8] at
+        # 8g on a 300k-doc pipeline; the box has 128GiB)
+        .config("spark.driver.memory",
+                os.environ.get("SPARK_DRIVER_MEM", "32g"))
         .config("spark.ui.enabled", "false")
         .config("spark.sql.files.maxPartitionBytes", str(128 * 1024 * 1024))
     )
+    # shuffle/spill scratch: this sandbox's disk is shared-host and
+    # becomes the bottleneck under high task concurrency (32 threads
+    # measured SLOWER than 8 with on-disk shuffle); tmpfs removes it.
+    # On a real cluster leave SPARK_LOCAL_DIRS to the NVMe-backed default.
+    local_dir = os.environ.get("SPARK_LOCAL_DIRS")
+    if local_dir is None and os.access("/dev/shm", os.W_OK):
+        local_dir = "/dev/shm/spark-local"
+    if local_dir:
+        builder = builder.config("spark.local.dir", local_dir)
     return builder.getOrCreate()
 
 
