@@ -28,6 +28,7 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
+from ditto_spark.cachereg import cache_registered
 from ditto_spark.operators.hashing import porthash
 
 
@@ -87,7 +88,7 @@ def key_blocking(
         w = Window.partitionBy("block_key").orderBy("id")
         keyed = (keyed.withColumn("_rk", F.row_number().over(w))
                  .filter(F.col("_rk") <= max_block_rows).drop("_rk"))
-    keyed = keyed.cache()  # feeds both sides of the self-join
+    keyed = cache_registered(keyed)  # feeds both sides of the self-join
     a = keyed.select(F.col("id").alias("left_id"),
                      F.col("txt").alias("left_text"), "block_key")
     b = keyed.select(F.col("id").alias("right_id"),
@@ -157,17 +158,19 @@ def global_rank(df: DataFrame, key: Column, id_col: str = "doc_id",
     # reuse it) can sample DIFFERENT boundaries — offsets keyed on _pid
     # would then disagree with the main branch and produce duplicate or
     # missing ranks (observed at sf0.1)
-    ranked = parted.withColumn("_rn_in", F.row_number().over(w)).cache()
-    counts = ranked.groupBy("_pid").agg(F.count("*").alias("_cnt"))
-    offsets = counts.withColumn(
-        "_off",
-        F.coalesce(
-            F.sum("_cnt").over(
-                Window.orderBy("_pid").rowsBetween(
-                    Window.unboundedPreceding, -1)),
-            F.lit(0),
-        ),
-    ).select("_pid", "_off")
+    ranked = cache_registered(
+        parted.withColumn("_rn_in", F.row_number().over(w)))
+    # per-partition offsets: the counts frame has exactly n_parts rows, so
+    # the prefix sum is driver-side metadata (a bounded collect), not a
+    # single-partition window over data
+    counts = ranked.groupBy("_pid").agg(F.count("*").alias("_cnt")).collect()
+    off, offs = 0, {}
+    for row in sorted(counts, key=lambda r: r["_pid"]):
+        offs[row["_pid"]] = off
+        off += row["_cnt"]
+    spark = df.sparkSession
+    offsets = spark.createDataFrame(
+        [(int(p), int(o)) for p, o in offs.items()], "_pid int, _off long")
     return (
         ranked.join(F.broadcast(offsets), "_pid")
         .withColumn("rn", F.col("_off") + F.col("_rn_in"))
@@ -194,7 +197,8 @@ def sorted_neighborhood(
                          ).select(F.col(id_col).alias("id"),
                                   F.col(text_col).alias("txt"),
                                   "rn", F.col("_k").alias("block_key")
-                                  ).cache()  # probe + target sides
+                                  )
+    ranked = cache_registered(ranked)  # probe + target sides
     probes = ranked.select(
         F.col("id").alias("left_id"), F.col("txt").alias("left_text"),
         F.col("block_key"),
@@ -386,7 +390,7 @@ def minhash_lsh_blocking(
                    .filter(F.col("_rk") <= max_bucket_rows).drop("_rk"))
     # the bucket table feeds both sides of the self-join: cache it so the
     # signature computation runs once, not twice
-    buckets = buckets.cache()
+    buckets = cache_registered(buckets)
     a = buckets.select(F.col("id").alias("left_id"),
                        F.col("txt").alias("left_text"), "block_key")
     b = buckets.select(F.col("id").alias("right_id"),

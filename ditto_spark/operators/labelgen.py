@@ -23,6 +23,7 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
+from ditto_spark.cachereg import cache_registered
 from ditto_spark.operators.hashing import porthash
 
 
@@ -46,7 +47,8 @@ def positive_pairs(
 ) -> DataFrame:
     """Equi-join on the blocking key + overlap filter -> likely matches."""
     keyed = docs.select(F.col(id_col).alias("id"),
-                        F.col(text_col).alias("txt"), key.alias("k")).cache()
+                        F.col(text_col).alias("txt"), key.alias("k"))
+    keyed = cache_registered(keyed)
     a = keyed.select(F.col("id").alias("left_id"),
                      F.col("txt").alias("left_text"), "k")
     b = keyed.select(F.col("id").alias("right_id"),

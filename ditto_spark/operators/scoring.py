@@ -36,7 +36,7 @@ import math
 from typing import Iterator
 
 import pandas as pd
-from pyspark.sql import DataFrame
+from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 MARKER_TOKENS = {"COL", "VAL"}
@@ -86,13 +86,118 @@ def surrogate_p1(left: str, right: str) -> float:
 
 
 class SurrogateBackend:
-    """Pure-python deterministic scorer (vectorized over pandas batches)."""
+    """Pure-python deterministic scorer over pandas batches. Tokenization
+    is vectorized (C-level lower/split); the residual per-row work is set
+    algebra over short token lists."""
+
+    @staticmethod
+    def _p1_from_lists(ltoks: list[str], rtoks: list[str]) -> float:
+        a = _strip_markers(ltoks)
+        b = _strip_markers(rtoks)
+        if not a or not b:
+            return 0.02
+        inter = len(a & b)
+        union = len(a | b)
+        jac = inter / union
+        cont = inter / min(len(a), len(b))
+        lr = min(len(a), len(b)) / max(len(a), len(b))
+        logit = 14.0 * jac + 4.0 * cont + 1.0 * lr - 8.0
+        return 1.0 / (1.0 + math.exp(-logit))
 
     def score_batch(self, left: pd.Series, right: pd.Series) -> pd.Series:
+        lt = left.fillna("").str.lower().str.split()
+        rt = right.fillna("").str.lower().str.split()
         return pd.Series(
-            [surrogate_p1(l, r) for l, r in zip(left, right)],
+            [self._p1_from_lists(a, b) for a, b in zip(lt, rt)],
             index=left.index, dtype="float64",
         )
+
+
+def _strip_markers(toks: list[str]) -> set[str]:
+    """Same skip logic as _value_tokens, over an already-split list."""
+    out: set[str] = set()
+    skip_next = False
+    for t in toks:
+        if t == "col":
+            skip_next = True
+            continue
+        if t == "val":
+            continue
+        if skip_next:
+            skip_next = False
+            continue
+        out.add(t)
+    return out
+
+
+# ---------------------------------------------------------------------------
+# native (whole-stage-codegen) surrogate scoring — zero Python on the hot
+# path. Identical formula to surrogate_p1; used as the pipeline default so
+# the scoring stage stays JVM-side (the torch backend replaces it when a
+# real checkpoint is available).
+# ---------------------------------------------------------------------------
+
+def value_tokens_col(text: Column) -> Column:
+    """Distinct value tokens of a serialized entity as array<string> —
+    the exact native equivalent of _value_tokens:
+
+      1. lowercase, whitespace-split, drop empties and 'val' tokens
+         ('val' never clears a pending skip in the python loop, so it can
+         be removed first without changing which tokens are skipped);
+      2. in the val-free sequence, drop 'col' tokens and any token
+         directly preceded by 'col' (the attribute name it introduces).
+    """
+    base = F.filter(
+        F.split(F.lower(F.trim(text)), r"\s+"),
+        lambda t: (t != "") & (t != "val"),
+    )
+
+    def keep(t: Column, i: Column) -> Column:
+        # element_at is 1-based: at i==0 greatest(i,1) reads t itself,
+        # which the first conjunct already constrains to != 'col'
+        prev = F.element_at(base, F.greatest(i, F.lit(1)).cast("int"))
+        return (t != "col") & (prev != "col")
+
+    return F.array_distinct(F.filter(base, keep))
+
+
+def surrogate_p1_col(left_toks: Column, right_toks: Column) -> Column:
+    """P(match) from two value-token arrays — surrogate_p1 as one codegen
+    expression (same feature set and weights)."""
+    na = F.size(left_toks).cast("double")
+    nb = F.size(right_toks).cast("double")
+    inter = F.size(F.array_intersect(left_toks, right_toks)).cast("double")
+    union = F.size(F.array_union(left_toks, right_toks)).cast("double")
+    jac = inter / union
+    cont = inter / F.least(na, nb)
+    lr = F.least(na, nb) / F.greatest(na, nb)
+    logit = F.lit(14.0) * jac + F.lit(4.0) * cont + lr - F.lit(8.0)
+    return F.when((na == 0) | (nb == 0), F.lit(0.02)).otherwise(
+        F.lit(1.0) / (F.lit(1.0) + F.exp(-logit)))
+
+
+def score_pairs_native(candidates: DataFrame,
+                       threshold: float = 0.5) -> DataFrame:
+    """score_pairs with the surrogate formula compiled to native Spark
+    expressions: the scoring stage runs entirely inside whole-stage
+    codegen (no Python workers), which both removes the Python hot path
+    and keeps executor cores unoversubscribed at high parallelism.
+    Output schema and decision contract identical to score_pairs."""
+    has_bk = "block_key" in candidates.columns
+    proj = candidates.select(
+        "left_id", "right_id", "left_text", "right_text",
+        (F.col("block_key") if has_bk else F.lit(None).cast("string")
+         ).alias("block_key"),
+    )
+    p1 = surrogate_p1_col(value_tokens_col(F.col("left_text")),
+                          value_tokens_col(F.col("right_text")))
+    out = proj.withColumn("p1", p1).withColumn(
+        "match", (F.col("p1") > F.lit(float(threshold))).cast("int"))
+    return out.withColumn(
+        "match_confidence",
+        F.when(F.col("match") == 1, F.col("p1")).otherwise(
+            F.lit(1.0) - F.col("p1")),
+    )
 
 
 class TorchDittoBackend:

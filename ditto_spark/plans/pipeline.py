@@ -22,7 +22,8 @@ from pyspark.sql import functions as F
 from ditto_spark.operators import blocking as B
 from ditto_spark.operators.clustering import assign_entities
 from ditto_spark.operators.knowledge import dk_inject_df
-from ditto_spark.operators.scoring import SurrogateBackend, score_pairs
+from ditto_spark.operators.scoring import (SurrogateBackend, score_pairs,
+                                           score_pairs_native)
 from ditto_spark.operators.serialize import serialize_docs
 from ditto_spark.operators.summarize import build_idf, summarize_column
 from ditto_spark.sources.checkpoint import CheckpointStore, fingerprint_of
@@ -44,6 +45,10 @@ class PipelineConfig:
     sn_window: int = 4
     max_bucket_rows: int = 200
     backend_factory: object = field(default=SurrogateBackend)
+    # With the default SurrogateBackend, score via the identical-formula
+    # native expression (whole-stage codegen, no Python workers). A real
+    # model backend (torch) always routes through the mapInPandas path.
+    native_scorer: bool = True
 
 
 def sn_key(text_col: str = "text"):
@@ -116,12 +121,16 @@ def run_pipeline(
     candidates = ck("candidates", fp_cand, build_candidates)
 
     # 3. score
+    use_native = cfg.native_scorer and cfg.backend_factory is SurrogateBackend
     fp_scored = fingerprint_of("score", fp_cand, cfg.threshold,
                                backend_name)
-    scored = ck(
-        "scored", fp_scored,
-        lambda: score_pairs(candidates, cfg.threshold, cfg.backend_factory),
-    )
+
+    def build_scored() -> DataFrame:
+        if use_native:
+            return score_pairs_native(candidates, cfg.threshold)
+        return score_pairs(candidates, cfg.threshold, cfg.backend_factory)
+
+    scored = ck("scored", fp_scored, build_scored)
     matches = scored.select("left_id", "right_id", "match",
                             "match_confidence")
 

@@ -70,5 +70,9 @@ def clear_operator_caches(spark: SparkSession) -> None:
     (key_blocking / sorted_neighborhood / minhash buckets / global_rank
     cache their join inputs; Spark never auto-unpersists them). Call
     between independent pipeline runs in a long-lived session — the
-    CheckpointStore does this automatically after each stage lands."""
-    spark.catalog.clearCache()
+    CheckpointStore does this automatically after each stage lands.
+    Scoped: only operator-registered frames are unpersisted; caches the
+    caller owns survive."""
+    from ditto_spark.cachereg import release_registered
+
+    release_registered()

@@ -68,6 +68,12 @@ class CheckpointStore:
 
         t0 = time.monotonic()
         df = build()
+        # crash consistency: drop any stale manifest BEFORE the data dir
+        # is overwritten. A crash mid-overwrite then leaves a stage with
+        # no manifest (recomputed next run) instead of an old manifest
+        # that would validate partially-written data under the old config.
+        if os.path.exists(mpath):
+            os.remove(mpath)
         writer = df.write.mode("overwrite")
         if partition_by:
             writer = writer.partitionBy(*partition_by)
@@ -101,8 +107,11 @@ class CheckpointStore:
         self.recomputed.append(name)
         # the stage is durably on disk; operator-internal self-join
         # caches created while building it are now dead weight — release
-        # them so long-lived sessions don't accumulate InMemoryRelations
-        self.spark.catalog.clearCache()
+        # exactly those (scoped registry — caches owned by the caller or
+        # by concurrent pipelines in this session are untouched)
+        from ditto_spark.cachereg import release_registered
+
+        release_registered()
         return out
 
     # -- introspection ----------------------------------------------------
