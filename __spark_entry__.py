@@ -354,9 +354,11 @@ def _mm_frame_plan(spark, sf_dir):
 
 
 def _cluster_cc(spark, sf_dir):
+    # capped shingle DF (the scale-safe default — VERDICT r1 #5): the
+    # uncapped exactness variant stays in dedup_ngram_jaccard
     d = _t(spark, sf_dir, "documents")
     edges = ngram_jaccard_pairs(d, "doc_id", "text", n=3, threshold=0.1,
-                                max_shingle_df=None).select(
+                                max_shingle_df=50).select(
         F.col("left_id").alias("src"), F.col("right_id").alias("dst"))
     return connected_components(edges).orderBy("doc_id")
 
@@ -506,7 +508,7 @@ def _corpus_clean(spark, sf_dir):
         quality_score(F.col("text")).alias("quality"),
     )
     dups = ngram_jaccard_pairs(d, "doc_id", "text", n=3, threshold=0.3,
-                               max_shingle_df=None).select(
+                               max_shingle_df=50).select(
         F.col("right_id").alias("doc_id"))
     return (
         scored.filter((F.col("quality") >= 0.8)
@@ -625,6 +627,102 @@ def _q_events_lag_delta(spark, sf_dir):
     )
 
 
+# ---------------------------------------------------------------------------
+# round-2 additions: NER-typed DK, reference-exact summarizer, SQL-surface
+# ER pipeline, verified threshold tuning, capped (scale-safe) jaccard
+# ---------------------------------------------------------------------------
+
+_DK_SUFFIX = ("met maria at acme corp in tokyo on january 2021 "
+              "at 10:30 buying 5 kg of iphone stock")
+
+
+def _er_dk_general(spark, sf_dir):
+    """NER-typed DK injection (GeneralDKInjector analog, knowledge.py:
+    110-168): entity labels + number normalization + ID tagging over an
+    enriched token stream exercising every label branch."""
+    from ditto_spark.operators.knowledge import dk_inject_general
+
+    d = _t(spark, sf_dir, "documents")
+    enriched = F.concat_ws(
+        " ", F.col("text"), F.col("n_chars").cast("string"),
+        F.format_string("%.3f", F.col("n_chars") / 7.0),
+        F.concat(F.lit("SKU"), F.col("doc_id").cast("string"), F.lit("X"),
+                 (F.col("n_chars") * 3).cast("string")),
+        F.lit(_DK_SUFFIX),
+    )
+    return d.select("doc_id", dk_inject_general(enriched).alias("dk_text"))
+
+
+def _er_summarize_ref(spark, sf_dir):
+    """Reference-exact pair summarizer (summarize.py:54-109 semantics):
+    per-pair shared idf counter, sentence-piece budget with marker
+    charge, break-on-overflow, emit-once. Pairs = consecutive documents;
+    ASCII token pattern so the DuckDB oracle's RE2 \\w matches Java's."""
+    from ditto_spark.operators.summarize_ref import (
+        build_ref_tfidf, summarize_pairs_ref,
+    )
+
+    d = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    a = d.filter(F.col("doc_id") % 2 == 0).select(
+        F.col("doc_id").alias("pair_id"), F.col("text").alias("left_text"))
+    b = d.select((F.col("doc_id") - 1).alias("pair_id"),
+                 F.col("text").alias("right_text"))
+    pairs = a.join(b, "pair_id")
+    entries = pairs.select(F.col("left_text").alias("text")).unionAll(
+        pairs.select(F.col("right_text").alias("text")))
+    vocab = build_ref_tfidf(spark, entries,
+                            token_pattern=r"\b\w\w+\b")
+    # weight_round=9: a 1-ulp libm log() difference between engines must
+    # not flip near-tied candidate ranks (operator default stays exact)
+    out = summarize_pairs_ref(pairs, vocab, max_len=12, weight_round=9)
+    return out.select("pair_id",
+                      F.col("left_text").alias("left_summary"),
+                      F.col("right_text").alias("right_summary"))
+
+
+def _er_pipeline_sql(spark, sf_dir):
+    """SQL-surface flagship: serialize -> sorted-neighborhood blocking ->
+    NATIVE surrogate scoring -> decisions, end-to-end hash-exact vs the
+    DuckDB twin (the full multi-pass pipeline with MinHash-LSH stays in
+    er_pipeline_matches as a rows-only entry — xxhash64 has no DuckDB
+    equivalent)."""
+    from ditto_spark.operators.scoring import score_pairs_native
+
+    ser = _er_serialize(spark, sf_dir).select(
+        "doc_id", F.col("serialized").alias("text"))
+    pairs = sorted_neighborhood(ser, F.lower(F.col("text")), window=2)
+    scored = score_pairs_native(pairs, 0.5)
+    return scored.select("left_id", "right_id", "match",
+                         F.round("p1", 6).alias("p1r"))
+
+
+def _er_threshold_verified(spark, sf_dir):
+    """M4 + the reference's sanity re-predict (matcher.py:229-251): the
+    sweep's winning threshold, cross-checked against the decision path;
+    raises on drift."""
+    from ditto_spark.operators.scoring import tune_threshold_verified
+
+    d = _t(spark, sf_dir, "documents")
+    scored = ngram_jaccard_pairs(d, "doc_id", "text", n=3, threshold=0.1,
+                                 max_shingle_df=None).select(
+        F.col("jaccard").alias("p1"),
+        (F.col("jaccard") >= 0.2).cast("int").alias("label"))
+    th, swept_f1, re_f1 = tune_threshold_verified(scored)
+    return spark.createDataFrame(
+        [(round(th, 6), round(swept_f1, 6), round(re_f1, 6))],
+        "best_th double, swept_f1 double, repredicted_f1 double")
+
+
+def _dedup_ngram_jaccard_capped(spark, sf_dir):
+    """The scale-safe form of n-gram jaccard: shingles with document
+    frequency above the cap are dropped BEFORE set sizes are counted
+    (dedup.py:79-84) — bounded join fanout, the default at 100TB."""
+    d = _t(spark, sf_dir, "documents")
+    return ngram_jaccard_pairs(d, "doc_id", "text", n=3, threshold=0.3,
+                               max_shingle_df=50).orderBy(
+        "left_id", "right_id")
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "q1_pricing_summary": _q1_pricing_summary,
@@ -667,6 +765,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_events_lag_delta": _q_events_lag_delta,
         "q_grouping_sets": _q_grouping_sets,
         "q_string_funcs": _q_string_funcs,
+        "er_dk_general": _er_dk_general,
+        "er_summarize_ref": _er_summarize_ref,
+        "er_pipeline_sql": _er_pipeline_sql,
+        "er_threshold_verified": _er_threshold_verified,
+        "dedup_ngram_jaccard_capped": _dedup_ngram_jaccard_capped,
     }
 
 
@@ -977,7 +1080,14 @@ def oracle_sql() -> dict[str, str]:
         "corpus_clean": f"""
             WITH d0 AS (SELECT doc_id, {_TOKS} AS w, text FROM documents),
             sh AS (SELECT doc_id, {_SHINGLES} AS s FROM d0),
-            ex AS (SELECT doc_id, len(s) AS n, unnest(s) AS shingle FROM sh),
+            ex0 AS (SELECT doc_id, unnest(s) AS shingle FROM sh),
+            kept AS (SELECT shingle FROM ex0 GROUP BY shingle
+                     HAVING COUNT(*) <= 50),
+            ex1 AS (SELECT ex0.doc_id, ex0.shingle
+                    FROM ex0 JOIN kept USING (shingle)),
+            nn AS (SELECT doc_id, COUNT(*) AS n FROM ex1 GROUP BY doc_id),
+            ex AS (SELECT e.doc_id, nn.n, e.shingle
+                   FROM ex1 e JOIN nn USING (doc_id)),
             pairs AS (
               SELECT a.doc_id AS l, b.doc_id AS r, a.n AS na, b.n AS nb,
                      COUNT(*) AS common
@@ -1310,7 +1420,14 @@ def oracle_sql() -> dict[str, str]:
             WITH RECURSIVE
             d AS (SELECT doc_id, {_TOKS} AS w FROM documents),
             sh AS (SELECT doc_id, {_SHINGLES} AS s FROM d),
-            ex AS (SELECT doc_id, len(s) AS n, unnest(s) AS shingle FROM sh),
+            ex0 AS (SELECT doc_id, unnest(s) AS shingle FROM sh),
+            kept AS (SELECT shingle FROM ex0 GROUP BY shingle
+                     HAVING COUNT(*) <= 50),
+            ex1 AS (SELECT ex0.doc_id, ex0.shingle
+                    FROM ex0 JOIN kept USING (shingle)),
+            nn AS (SELECT doc_id, COUNT(*) AS n FROM ex1 GROUP BY doc_id),
+            ex AS (SELECT e.doc_id, nn.n, e.shingle
+                   FROM ex1 e JOIN nn USING (doc_id)),
             pairs AS (
               SELECT a.doc_id AS l, b.doc_id AS r,
                      a.n AS na, b.n AS nb, COUNT(*) AS common
@@ -1335,5 +1452,311 @@ def oracle_sql() -> dict[str, str]:
         """,
         # er_pipeline_matches: intentionally no oracle (iterator-UDF model
         # scoring + multi-pass LSH blocking is not one SQL query); the
-        # driver records the weaker rows-only check.
+        # driver records the weaker rows-only check. er_pipeline_sql is
+        # the hash-exact SQL-surface twin (SN blocking + native scorer).
+        "er_dk_general": _dk_general_oracle_sql(),
+        "er_summarize_ref": _summarize_ref_oracle_sql(),
+        "er_pipeline_sql": _pipeline_sql_oracle_sql(),
+        "er_threshold_verified": _threshold_verified_oracle_sql(),
+        "dedup_ngram_jaccard_capped": _ngram_capped_oracle_sql(),
     }
+
+
+# serialized-entity SQL fragment (same construction as the er_serialize
+# oracle — COL/VAL text from the flat documents columns)
+_SER_SQL = (
+    "'COL title VAL ' || source || ' COL body VAL ' || trim(text) || "
+    "CASE WHEN doc_id % 5 = 0 THEN ' COL media VAL [MEDIA] img://corpus/'"
+    " || doc_id || '.jpg' ELSE '' END"
+)
+
+
+def _sql_list(words) -> str:
+    # double single quotes: stopwords include don't / she's / that'll
+    return ", ".join("'{}'".format(w.replace("'", "''"))
+                     for w in sorted(words))
+
+
+def _dk_general_oracle_sql() -> str:
+    from ditto_spark.operators.knowledge import (
+        LOCATIONS, MONTHS, ORG_SUFFIX, PERSON_FIRST, PRODUCTS, UNITS,
+        WEEKDAYS,
+    )
+
+    label = f"""CASE
+        WHEN lower(__TI__) IN ({_sql_list(PERSON_FIRST)}) THEN 'PERSON'
+        WHEN lower(__TI__) IN ({_sql_list(ORG_SUFFIX)}) THEN 'ORG'
+        WHEN lower(__TI__) IN ({_sql_list(LOCATIONS)}) THEN 'LOC'
+        WHEN lower(__TI__) IN ({_sql_list(PRODUCTS)}) THEN 'PRODUCT'
+        WHEN lower(__TI__) IN ({_sql_list(MONTHS)})
+             OR lower(__TI__) IN ({_sql_list(WEEKDAYS)})
+             OR regexp_matches(__TI__,
+                '^(\\d{{4}}-\\d{{2}}-\\d{{2}}|\\d{{1,2}}/\\d{{1,2}}/\\d{{2,4}})$')
+             OR regexp_matches(__TI__, '^(19|20)\\d{{2}}$') THEN 'DATE'
+        WHEN regexp_matches(__TI__, '^[-+]?\\d+(\\.\\d+)?$')
+             AND lower(coalesce(__TN__, '')) IN ({_sql_list(UNITS)})
+             THEN 'QUANTITY'
+        WHEN regexp_matches(__TI__,
+             '^\\d{{1,2}}:\\d{{2}}(:\\d{{2}})?(am|pm)?$')
+             THEN 'TIME'
+        END"""
+    norm = """CASE
+        WHEN regexp_matches(__TI__, '^[-+]?\\d+$')
+             AND length(regexp_replace(__TI__, '[-+]', '', 'g')) <= 18
+             THEN CAST(CAST(__TI__ AS BIGINT) AS VARCHAR)
+        WHEN regexp_matches(__TI__, '^[-+]?\\d*\\.\\d+$')
+             THEN printf('%.2f', CAST(__TI__ AS DOUBLE))
+        WHEN length(__TI__) >= 7 AND regexp_matches(__TI__, '\\d')
+             THEN 'ID ' || __TI__
+        ELSE __TI__ END"""
+    per_tok = (f"CASE WHEN ({label}) IS NOT NULL THEN ({label}) || ' ' || "
+               f"({norm}) ELSE ({norm}) END")
+    per_tok = per_tok.replace("__TI__", "t[i]").replace("__TN__", "t[i+1]")
+    return f"""
+        WITH enr AS (
+          SELECT doc_id,
+                 text || ' ' || CAST(n_chars AS VARCHAR) || ' ' ||
+                 printf('%.3f', n_chars / 7.0) || ' ' ||
+                 'SKU' || doc_id || 'X' || (n_chars * 3) || ' ' ||
+                 '{_DK_SUFFIX}' AS e
+          FROM documents),
+        toks AS (
+          SELECT doc_id,
+                 list_filter(string_split_regex(e, '\\s+'),
+                             x -> x != '') AS t
+          FROM enr)
+        SELECT doc_id,
+               array_to_string(
+                 list_transform(range(1, len(t) + 1), i -> {per_tok}),
+                 ' ') AS dk_text
+        FROM toks
+    """
+
+
+# value-token extraction for the native surrogate formula: drop ''/'val',
+# then drop 'col' and the token directly following it, dedupe
+def _vt_sql(col: str) -> str:
+    t1 = (f"list_filter(string_split_regex(lower(trim({col})), '\\s+'), "
+          "x -> x != '' AND x != 'val')")
+    return (
+        f"list_distinct(list_filter(list_transform("
+        f"range(1, len({t1}) + 1), "
+        f"i -> CASE WHEN ({t1})[i] != 'col' AND "
+        f"(i = 1 OR ({t1})[i-1] != 'col') THEN ({t1})[i] END), "
+        f"x -> x IS NOT NULL))"
+    )
+
+
+def _pipeline_sql_oracle_sql() -> str:
+    return f"""
+        WITH ser AS (SELECT doc_id, {_SER_SQL} AS text FROM documents),
+        ranked AS (
+          SELECT doc_id, text,
+                 ROW_NUMBER() OVER (ORDER BY lower(text), doc_id) AS rn
+          FROM ser),
+        p0 AS (
+          SELECT LEAST(a.doc_id, b.doc_id) AS left_id,
+                 GREATEST(a.doc_id, b.doc_id) AS right_id
+          FROM ranked a JOIN ranked b ON b.rn - a.rn BETWEEN 1 AND 2),
+        pairs AS (
+          SELECT p0.left_id, p0.right_id, sa.text AS lt, sb.text AS rt
+          FROM p0 JOIN ser sa ON sa.doc_id = p0.left_id
+                  JOIN ser sb ON sb.doc_id = p0.right_id),
+        vt AS (
+          SELECT left_id, right_id,
+                 {_vt_sql('lt')} AS a, {_vt_sql('rt')} AS b
+          FROM pairs),
+        sc AS (
+          SELECT left_id, right_id, len(a) AS na, len(b) AS nb,
+                 len(list_intersect(a, b)) AS ci,
+                 len(list_distinct(list_concat(a, b))) AS cu
+          FROM vt),
+        p1c AS (
+          SELECT left_id, right_id,
+                 CASE WHEN na = 0 OR nb = 0 THEN 0.02
+                      ELSE 1.0 / (1.0 + exp(-(
+                        14.0 * (CAST(ci AS DOUBLE) / cu)
+                        + 4.0 * (CAST(ci AS DOUBLE) / LEAST(na, nb))
+                        + (CAST(LEAST(na, nb) AS DOUBLE) / GREATEST(na, nb))
+                        - 8.0)))
+                 END AS p
+          FROM sc)
+        SELECT left_id, right_id,
+               CASE WHEN p > 0.5 THEN 1 ELSE 0 END AS match,
+               round(p, 6) AS p1r
+        FROM p1c
+    """
+
+
+def _summarize_ref_oracle_sql() -> str:
+    from ditto_spark.operators.summarize_ref import NLTK_STOPWORDS
+
+    max_len = 12
+    return f"""
+        WITH pairs AS (
+          SELECT a.doc_id AS pair_id, a.text AS lt, b.text AS rt
+          FROM documents a JOIN documents b ON b.doc_id = a.doc_id + 1
+          WHERE a.doc_id % 2 = 0),
+        entries AS (
+          SELECT pair_id * 2 AS eid, lt AS text FROM pairs
+          UNION ALL SELECT pair_id * 2 + 1, rt FROM pairs),
+        nent AS (SELECT COUNT(*) AS n FROM entries),
+        etok AS (
+          SELECT DISTINCT eid,
+                 unnest(regexp_extract_all(lower(text),
+                                           '\\b\\w\\w+\\b')) AS tok
+          FROM entries),
+        vocab AS (
+          SELECT tok,
+                 ln((1.0 + (SELECT n FROM nent)) / (1.0 + COUNT(*)))
+                   + 1.0 AS idf
+          FROM etok GROUP BY tok),
+        sides AS (
+          SELECT pair_id, 'L' AS side, string_split(lt, ' ') AS toks
+          FROM pairs
+          UNION ALL
+          SELECT pair_id, 'R', string_split(rt, ' ') FROM pairs),
+        pt AS (
+          SELECT pair_id, side,
+                 unnest(list_transform(range(1, len(toks) + 1),
+                        i -> struct_pack(pos := i, tok := toks[i]))) AS s
+          FROM sides),
+        postok AS (
+          SELECT pair_id, side, s.pos AS pos, s.tok AS tok FROM pt),
+        charge AS (
+          SELECT pair_id, side,
+                 SUM(CASE WHEN tok IN ('COL', 'VAL') THEN 1 ELSE 0 END)
+                   AS ch
+          FROM postok GROUP BY 1, 2),
+        cnt AS (
+          SELECT p.pair_id, p.tok, SUM(v.idf) AS w
+          FROM postok p JOIN vocab v ON v.tok = p.tok
+          WHERE p.tok NOT IN ('COL', 'VAL')
+            AND p.tok NOT IN ({_sql_list(NLTK_STOPWORDS)})
+          GROUP BY 1, 2),
+        cand AS (
+          SELECT d.pair_id, d.side, d.tok,
+                 round(COALESCE(c.w, 0.0), 9) AS w
+          FROM (SELECT DISTINCT pair_id, side, tok FROM postok) d
+          LEFT JOIN cnt c ON c.pair_id = d.pair_id AND c.tok = d.tok),
+        rankd AS (
+          SELECT *, ROW_NUMBER() OVER (PARTITION BY pair_id, side
+                    ORDER BY w DESC, tok ASC) AS rk
+          FROM cand),
+        plen AS (
+          SELECT *, CASE WHEN tok = '' THEN 0
+                         ELSE GREATEST(1, CAST(ceil(length(tok) / 4.0)
+                                               AS INT)) END AS pl
+          FROM rankd WHERE rk <= {max_len}),
+        cum AS (
+          SELECT *, SUM(pl) OVER (PARTITION BY pair_id, side ORDER BY rk
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                    AS cl
+          FROM plen),
+        brk AS (
+          SELECT c.*, ch.ch,
+                 MIN(CASE WHEN ch.ch + c.cl > {max_len} THEN c.rk END)
+                   OVER (PARTITION BY c.pair_id, c.side) AS brk_rk
+          FROM cum c JOIN charge ch
+            ON ch.pair_id = c.pair_id AND ch.side = c.side),
+        kept AS (
+          SELECT pair_id, side, tok FROM brk
+          WHERE rk < COALESCE(brk_rk, 2147483647)),
+        keptpos AS (
+          SELECT p.pair_id, p.side, MIN(p.pos) AS pos, p.tok
+          FROM postok p JOIN kept k ON k.pair_id = p.pair_id
+            AND k.side = p.side AND k.tok = p.tok
+          WHERE p.tok NOT IN ('COL', 'VAL')
+          GROUP BY p.pair_id, p.side, p.tok),
+        markpos AS (
+          SELECT pair_id, side, pos, tok FROM postok
+          WHERE tok IN ('COL', 'VAL')),
+        emit AS (
+          SELECT pair_id, side, pos, tok FROM keptpos
+          UNION ALL SELECT pair_id, side, pos, tok FROM markpos),
+        agg AS (
+          SELECT pair_id, side,
+                 string_agg(tok, ' ' ORDER BY pos) AS s
+          FROM emit GROUP BY 1, 2)
+        SELECT p.pair_id,
+               COALESCE(l.s, '') AS left_summary,
+               COALESCE(r.s, '') AS right_summary
+        FROM pairs p
+        LEFT JOIN agg l ON l.pair_id = p.pair_id AND l.side = 'L'
+        LEFT JOIN agg r ON r.pair_id = p.pair_id AND r.side = 'R'
+    """
+
+
+_NGRAM_SWEEP_CTE = """
+        WITH d AS (SELECT doc_id, {toks} AS w FROM documents),
+        sh AS (SELECT doc_id, {shingles} AS s FROM d),
+        ex AS (SELECT doc_id, len(s) AS n, unnest(s) AS shingle FROM sh),
+        pairs AS (
+          SELECT a.doc_id AS l, b.doc_id AS r, a.n AS na, b.n AS nb,
+                 COUNT(*) AS common
+          FROM ex a JOIN ex b
+            ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+          GROUP BY 1, 2, 3, 4),
+        scored AS (
+          SELECT round(CAST(common AS DOUBLE) / (na + nb - common), 6)
+                   AS p
+          FROM pairs
+          WHERE round(CAST(common AS DOUBLE) / (na + nb - common), 6)
+                >= 0.1),
+        lbl AS (SELECT p, CASE WHEN p >= 0.2 THEN 1 ELSE 0 END AS y
+                FROM scored),
+        grid AS (SELECT CAST(i AS DOUBLE) * 0.05 AS th
+                 FROM (SELECT unnest(range(20)) AS i)),
+        ex2 AS (
+          SELECT g.th, l.y,
+                 CASE WHEN l.p > g.th THEN 1 ELSE 0 END AS pred
+          FROM lbl l CROSS JOIN grid g),
+        f AS (
+          SELECT th,
+                 SUM(CASE WHEN y = 1 AND pred = 1 THEN 1 ELSE 0 END) AS tp,
+                 SUM(CASE WHEN y = 0 AND pred = 1 THEN 1 ELSE 0 END) AS fp,
+                 SUM(CASE WHEN y = 1 AND pred = 0 THEN 1 ELSE 0 END) AS fn
+          FROM ex2 GROUP BY th)
+"""
+
+
+def _threshold_verified_oracle_sql() -> str:
+    return _NGRAM_SWEEP_CTE.format(toks=_TOKS, shingles=_SHINGLES) + """
+        SELECT round(th, 6) AS best_th,
+               round(f1x, 6) AS swept_f1,
+               round(f1x, 6) AS repredicted_f1
+        FROM (SELECT th,
+                     CASE WHEN 2 * tp + fp + fn > 0
+                          THEN 2.0 * tp / (2 * tp + fp + fn)
+                          ELSE 0.0 END AS f1x
+              FROM f)
+        ORDER BY f1x DESC, th ASC LIMIT 1
+    """
+
+
+def _ngram_capped_oracle_sql(cap: int = 50, threshold: float = 0.3) -> str:
+    return f"""
+        WITH d AS (SELECT doc_id, {_TOKS} AS w FROM documents),
+        sh AS (SELECT doc_id, {_SHINGLES} AS s FROM d),
+        ex0 AS (SELECT doc_id, unnest(s) AS shingle FROM sh),
+        kept AS (SELECT shingle FROM ex0 GROUP BY shingle
+                 HAVING COUNT(*) <= {cap}),
+        ex1 AS (SELECT ex0.doc_id, ex0.shingle
+                FROM ex0 JOIN kept USING (shingle)),
+        nn AS (SELECT doc_id, COUNT(*) AS n FROM ex1 GROUP BY doc_id),
+        ex AS (SELECT e.doc_id, nn.n, e.shingle
+               FROM ex1 e JOIN nn USING (doc_id)),
+        pairs AS (
+          SELECT a.doc_id AS l, b.doc_id AS r, a.n AS na, b.n AS nb,
+                 COUNT(*) AS common
+          FROM ex a JOIN ex b
+            ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+          GROUP BY 1, 2, 3, 4)
+        SELECT l AS left_id, r AS right_id,
+               round(CAST(common AS DOUBLE) / (na + nb - common), 6)
+                 AS jaccard
+        FROM pairs
+        WHERE round(CAST(common AS DOUBLE) / (na + nb - common), 6)
+              >= {threshold}
+        ORDER BY left_id, right_id
+    """

@@ -178,12 +178,36 @@ def global_rank(df: DataFrame, key: Column, id_col: str = "doc_id",
     )
 
 
+def attach_texts(pairs: DataFrame, docs: DataFrame,
+                 id_col: str = "doc_id",
+                 text_col: str = "text") -> DataFrame:
+    """Join left_text/right_text onto id-only candidate pairs.
+
+    Blocking passes pair on IDS ONLY and texts are attached once, after
+    cross-pass dedup — shuffling wide serialized-entity strings through
+    every bucket join / dedup costs ~10x the bytes of the id columns and
+    measured 6x slower at high parallelism (the texts relation also fell
+    under the broadcast threshold and was broadcast-built per join)."""
+    texts = docs.select(F.col(id_col).alias("_tid"),
+                        F.col(text_col).alias("_ttxt"))
+    out = (
+        pairs.join(texts.withColumnRenamed("_tid", "left_id")
+                   .withColumnRenamed("_ttxt", "left_text"), "left_id")
+        .join(texts.withColumnRenamed("_tid", "right_id")
+              .withColumnRenamed("_ttxt", "right_text"), "right_id")
+    )
+    cols = ["left_id", "right_id", "left_text", "right_text"]
+    extra = [c for c in pairs.columns if c not in ("left_id", "right_id")]
+    return out.select(*cols, *extra)
+
+
 def sorted_neighborhood(
     df: DataFrame,
     key: Column,
     window: int = 3,
     id_col: str = "doc_id",
     text_col: str = "text",
+    with_texts: bool = True,
 ) -> DataFrame:
     """Pair each row with its ``window`` successors in global key order.
 
@@ -191,34 +215,33 @@ def sorted_neighborhood(
     (csv_to_matching_format.py:71-74) into the classic sorted-neighborhood
     pass. The neighbor match is an equi-join: each row exposes target
     ranks rn+1..rn+window via a tiny explode, so Catalyst plans a shuffle
-    hash join on rank — no range-join, no global window.
+    hash join on rank — no range-join, no global window. The rank fanout
+    and join carry ids only; texts attach at the end (with_texts=False for
+    multi-pass flows that attach once after union dedup).
     """
     ranked = global_rank(df.select(id_col, text_col), key, id_col=id_col
                          ).select(F.col(id_col).alias("id"),
-                                  F.col(text_col).alias("txt"),
                                   "rn", F.col("_k").alias("block_key")
                                   )
     ranked = cache_registered(ranked)  # probe + target sides
     probes = ranked.select(
-        F.col("id").alias("left_id"), F.col("txt").alias("left_text"),
+        F.col("id").alias("left_id"),
         F.col("block_key"),
         F.explode(F.sequence(F.col("rn") + 1, F.col("rn") + window)
                   ).alias("target_rn"),
     )
     targets = ranked.select(F.col("id").alias("right_id"),
-                            F.col("txt").alias("right_text"),
                             F.col("rn").alias("target_rn"))
     pairs = probes.join(targets, "target_rn").drop("target_rn")
     # normalize orientation so multi-pass union dedupes
-    return pairs.select(
+    pairs = pairs.select(
         F.least("left_id", "right_id").alias("left_id"),
         F.greatest("left_id", "right_id").alias("right_id"),
-        F.when(F.col("left_id") <= F.col("right_id"), F.col("left_text")
-               ).otherwise(F.col("right_text")).alias("left_text"),
-        F.when(F.col("left_id") <= F.col("right_id"), F.col("right_text")
-               ).otherwise(F.col("left_text")).alias("right_text"),
         "block_key",
     )
+    if not with_texts:
+        return pairs
+    return attach_texts(pairs, df, id_col, text_col)
 
 
 # ---------------------------------------------------------------------------
@@ -366,6 +389,7 @@ def minhash_lsh_blocking(
     shingle_n: int = 3,
     max_bucket_rows: int | None = 200,
     drop_marker_tokens: bool = True,
+    with_texts: bool = True,
 ) -> DataFrame:
     """Candidate pairs whose MinHash signatures collide in >=1 band.
 
@@ -381,27 +405,26 @@ def minhash_lsh_blocking(
     """
     keys = minhash_band_buckets(df, id_col, text_col, n_hashes, bands,
                                 shingle_n, drop_marker_tokens)
-    texts = df.select(F.col(id_col).alias("id"),
-                      F.col(text_col).alias("txt"))
-    buckets = keys.join(texts, "id")
     if max_bucket_rows is not None:
         w = Window.partitionBy("block_key").orderBy("id")
-        buckets = (buckets.withColumn("_rk", F.row_number().over(w))
-                   .filter(F.col("_rk") <= max_bucket_rows).drop("_rk"))
-    # the bucket table feeds both sides of the self-join: cache it so the
-    # signature computation runs once, not twice
-    buckets = cache_registered(buckets)
-    a = buckets.select(F.col("id").alias("left_id"),
-                       F.col("txt").alias("left_text"), "block_key")
+        keys = (keys.withColumn("_rk", F.row_number().over(w))
+                .filter(F.col("_rk") <= max_bucket_rows).drop("_rk"))
+    # the (id, band_key) table feeds both sides of the self-join: cache it
+    # so the signature computation runs once, not twice. Ids only — texts
+    # attach after dedup (see attach_texts).
+    buckets = cache_registered(keys)
+    a = buckets.select(F.col("id").alias("left_id"), "block_key")
     b = buckets.select(F.col("id").alias("right_id"),
-                       F.col("txt").alias("right_text"),
                        F.col("block_key").alias("bk2"))
     pairs = (
         a.join(b, (F.col("block_key") == F.col("bk2"))
                & (F.col("left_id") < F.col("right_id")))
         .drop("bk2")
+        .dropDuplicates(["left_id", "right_id"])
     )
-    return pairs.dropDuplicates(["left_id", "right_id"])
+    if not with_texts:
+        return pairs
+    return attach_texts(pairs, df, id_col, text_col)
 
 
 # ---------------------------------------------------------------------------
@@ -410,17 +433,21 @@ def minhash_lsh_blocking(
 
 def union_candidates(*passes: DataFrame) -> DataFrame:
     """Union blocking passes and dedupe pairs; keeps the first pass's
-    block_key per pair (deterministic via min)."""
-    cols = ["left_id", "right_id", "left_text", "right_text", "block_key"]
+    block_key per pair (deterministic via min). Works on id-only passes
+    (with_texts=False) or text-carrying ones; output carries texts only
+    when every pass does."""
+    with_texts = all("left_text" in p.columns for p in passes)
+    cols = (["left_id", "right_id", "left_text", "right_text", "block_key"]
+            if with_texts else ["left_id", "right_id", "block_key"])
     out = passes[0].select(*cols)
     for p in passes[1:]:
         out = out.unionByName(p.select(*cols))
+    aggs = [F.min("block_key").alias("block_key")]
+    if with_texts:
+        aggs += [F.first("left_text", ignorenulls=True).alias("left_text"),
+                 F.first("right_text", ignorenulls=True).alias("right_text")]
     return (
         out.groupBy("left_id", "right_id")
-        .agg(
-            F.min("block_key").alias("block_key"),
-            F.first("left_text", ignorenulls=True).alias("left_text"),
-            F.first("right_text", ignorenulls=True).alias("right_text"),
-        )
+        .agg(*aggs)
         .select(*cols)
     )

@@ -74,9 +74,12 @@ def connected_components(
     from ditto_spark.operators.hashing import porthash
 
     def _fingerprint(e: DataFrame) -> tuple:
-        """(count, hash-sum) of the canonical edge set — one cheap agg
-        instead of union/subtract/intersect set algebra per iteration."""
-        row = _canon(e).agg(
+        """(count, hash-sum) of the edge set — one cheap agg instead of
+        union/subtract/intersect set algebra per iteration. Callers pass
+        an already-canonical, already-distinct edge set (_canon output or
+        _small_star output, whose rows all satisfy src > dst pre-least/
+        greatest and are distinct) so no extra shuffle is spent here."""
+        row = e.agg(
             F.count("*").alias("n"),
             # mod keeps the sum far from int64 overflow (ANSI mode) even
             # at billions of edges
@@ -96,7 +99,9 @@ def connected_components(
         if fp == prev_fp:
             break
         prev_fp = fp
-    # converged edges are (component_min=src, member=dst) after _canon
+    # _small_star output is already oriented (src=member > dst=min) and
+    # distinct; _canon here is only orientation bookkeeping for the
+    # max_iter=0 / immediately-converged path
     comp = _canon(cur)
     members = comp.select(F.col("dst").alias("doc_id"),
                           F.col("src").alias("entity_id")).union(

@@ -65,16 +65,41 @@ def two_table_topk_blocking(
     id_col: str = "id",
     text_col: str = "text",
     dim: int = 64,
+    exact: bool | None = None,
+    max_exact_rows: int = 50_000,
+    n_cells: int = 64,
+    n_probe: int = 4,
 ) -> DataFrame:
     """blocker.py:43-80 re-created: encode both tables, emit for each
     right-table row its top-k most-cosine-similar left rows (and/or a
-    similarity threshold). Returns (left_id, right_id, sim, rank)."""
-    from ditto_spark.operators.similarity import cosine
+    similarity threshold). Returns (left_id, right_id, sim, rank).
 
-    ea = hashed_bow_embed(dfa, id_col, text_col, dim).select(
-        F.col("id").alias("left_id"), F.col("vec").alias("va"))
-    eb = hashed_bow_embed(dfb, id_col, text_col, dim).select(
-        F.col("id").alias("right_id"), F.col("vec").alias("vb"))
+    Routing (the scale contract the reference's dense matmul lacks):
+    ``exact=True`` forces the crossJoin + window form — the O(|A|x|B|)
+    exact baseline, audit-only at scale. ``exact=False`` routes through
+    the IVF coarse-quantizer ANN (one equi-join on cell id). Default
+    ``None`` picks exact only while BOTH sides stay under
+    ``max_exact_rows`` (two cheap count jobs); a 100TB run can never
+    silently fall into the quadratic form."""
+    from ditto_spark.operators.similarity import cosine, ivf_topk
+
+    if exact is None:
+        exact = (dfa.count() <= max_exact_rows
+                 and dfb.count() <= max_exact_rows)
+    ea = hashed_bow_embed(dfa, id_col, text_col, dim)
+    eb = hashed_bow_embed(dfb, id_col, text_col, dim)
+    if not exact:
+        out = ivf_topk(
+            ea, eb, k=k, n_cells=n_cells, n_probe=n_probe,
+            id_col="id", vec_col="vec", exclude_self=False,
+        ).select(F.col("neighbor_id").alias("left_id"),
+                 F.col("query_id").alias("right_id"),
+                 F.col("cosine").alias("sim"), "rank")
+        if threshold is not None:
+            out = out.filter(F.col("sim") >= threshold)
+        return out
+    ea = ea.select(F.col("id").alias("left_id"), F.col("vec").alias("va"))
+    eb = eb.select(F.col("id").alias("right_id"), F.col("vec").alias("vb"))
     scored = ea.crossJoin(eb).withColumn(
         "sim", F.round(cosine(F.col("va"), F.col("vb")), 6))
     if threshold is not None:

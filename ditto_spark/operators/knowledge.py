@@ -70,3 +70,110 @@ def dk_inject_df(df: DataFrame, text_cols: list[str]) -> DataFrame:
     for c in text_cols:
         out = out.withColumn(c, dk_inject(F.col(c)))
     return out
+
+
+# ---------------------------------------------------------------------------
+# NER-typed injection: the GeneralDKInjector analog (knowledge.py:110-168)
+# ---------------------------------------------------------------------------
+#
+# The reference runs spacy NER and inserts the entity label token
+# (PERSON/ORG/LOC/PRODUCT/DATE/QUANTITY/TIME) before each recognized
+# span's START (end indices are computed at :137-139 but never used — no
+# closing marker is emitted), then normalizes numbers (int %d / float
+# %.2f, :152-159) and prefixes 'ID' to tokens of length >= 7 containing a
+# digit (:160-162). spacy is not installable here, so recognition falls
+# back to a deterministic gazetteer + shape-regex tagger over whitespace
+# tokens — the documented plug point: with spacy available, swap
+# `general_ner_label` for a spacy-backed labeler without touching the
+# insertion/normalization plumbing. Whole-stage codegen, no Python.
+
+MONTHS = ("january february march april may june july august september "
+          "october november december jan feb mar apr jun jul aug sep sept "
+          "oct nov dec").split()
+WEEKDAYS = ("monday tuesday wednesday thursday friday saturday sunday "
+            "mon tue wed thu fri sat sun").split()
+UNITS = ("kg g mg lb lbs oz km m cm mm mi ft in yd gb mb tb kb ghz mhz hz "
+         "ml l gal qt pt w kw mah v mv a ma px dpi rpm mph kph").split()
+PERSON_FIRST = ("james mary john patricia robert jennifer michael linda "
+                "william elizabeth david barbara richard susan joseph "
+                "jessica thomas sarah charles karen maria carlos ahmed "
+                "wei yuki ivan olga pierre hans anna luca sofia").split()
+ORG_SUFFIX = ("inc inc. corp corp. ltd ltd. llc llp gmbh plc co. srl "
+              "s.a. ag ab oy nv bv kk pty").split()
+LOCATIONS = ("usa uk france germany japan china india brazil canada "
+             "australia spain italy mexico russia egypt kenya argentina "
+             "paris london berlin tokyo beijing mumbai toronto sydney "
+             "madrid rome moscow cairo nairobi chicago boston seattle "
+             "austin denver dallas houston atlanta miami portland").split()
+PRODUCTS = ("iphone ipad macbook xbox playstation thinkpad galaxy pixel "
+            "kindle surface chromebook airpods walkman roomba").split()
+
+_TIME_RE = r"^\d{1,2}:\d{2}(:\d{2})?(am|pm)?$"
+_DATE_NUM_RE = r"^(\d{4}-\d{2}-\d{2}|\d{1,2}/\d{1,2}/\d{2,4})$"
+_YEAR_RE = r"^(19|20)\d{2}$"
+_NUMERIC_RE = r"^[-+]?\d+(\.\d+)?$"
+
+
+def _isin_lower(t: Column, words: list[str]) -> Column:
+    return F.lower(t).isin(*words)
+
+
+def general_ner_label(t: Column, nxt: Column) -> Column:
+    """Entity label for a span STARTING at token ``t`` (``nxt`` is the
+    following token, for number+unit quantities), or NULL. Precedence
+    mirrors the reference's label set (knowledge.py:135-139); spans here
+    are single tokens except QUANTITY (number followed by a unit)."""
+    is_num = t.rlike(_NUMERIC_RE)
+    return (
+        F.when(_isin_lower(t, PERSON_FIRST), F.lit("PERSON"))
+        .when(_isin_lower(t, ORG_SUFFIX), F.lit("ORG"))
+        .when(_isin_lower(t, LOCATIONS), F.lit("LOC"))
+        .when(_isin_lower(t, PRODUCTS), F.lit("PRODUCT"))
+        .when(_isin_lower(t, MONTHS) | _isin_lower(t, WEEKDAYS)
+              | t.rlike(_DATE_NUM_RE) | t.rlike(_YEAR_RE), F.lit("DATE"))
+        .when(is_num & _isin_lower(nxt, UNITS), F.lit("QUANTITY"))
+        .when(t.rlike(_TIME_RE), F.lit("TIME"))
+        .otherwise(F.lit(None).cast("string"))
+    )
+
+
+def _general_norm(t: Column) -> Column:
+    """Number normalization + ID tagging per knowledge.py:152-162:
+    ints -> '%d', floats -> '%.2f' (NO 'NUM' marker in the general
+    injector), tokens >= 7 chars containing a digit -> 'ID <token>'."""
+    int_ok = t.rlike(_INT) & (F.length(F.regexp_replace(t, r"[-+]", ""))
+                              <= 18)
+    return (
+        F.when(int_ok, F.format_string("%d", t.cast("long")))
+        .when(t.rlike(_FLOAT), F.format_string("%.2f", t.cast("double")))
+        .when((F.length(t) >= 7) & t.rlike(_HAS_DIGIT),
+              F.concat(F.lit("ID "), t))
+        .otherwise(t)
+    )
+
+
+def dk_inject_general(col: Column) -> Column:
+    """GeneralDKInjector.transform as one codegen expression: for each
+    whitespace token, optionally emit the NER label, then the normalized
+    token (markers COL/VAL are plain 'other' tokens, as in the reference,
+    where spacy sees them as ordinary words)."""
+    toks = F.filter(F.split(col, r"\s+"), lambda t: t != F.lit(""))
+
+    def emit(t: Column, i: Column) -> Column:
+        # try_element_at: reading one past the last token must yield
+        # null (-> ''), not an ANSI out-of-bounds error
+        nxt = F.coalesce(
+            F.try_element_at(toks, (i + 2).cast("int")), F.lit(""))
+        label = general_ner_label(t, nxt)
+        norm = _general_norm(t)
+        return F.when(label.isNotNull(),
+                      F.concat(label, F.lit(" "), norm)).otherwise(norm)
+
+    return F.concat_ws(" ", F.transform(toks, emit))
+
+
+def dk_inject_general_df(df: DataFrame, text_cols: list[str]) -> DataFrame:
+    out = df
+    for c in text_cols:
+        out = out.withColumn(c, dk_inject_general(F.col(c)))
+    return out

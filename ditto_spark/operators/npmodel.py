@@ -1,0 +1,216 @@
+"""Numpy cross-encoder backend: a REAL transformer forward for the
+scoring path, runnable without torch.
+
+Purpose (VERDICT round 1, "make the F1 gate non-circular"): the
+reference scores pairs with a fine-tuned transformer cross-encoder
+(ditto_light/ditto.py:24-66 forward; matcher.py:73-116 classify). This
+sandbox has no torch, so TorchDittoBackend can't execute — and a gate
+that compares the surrogate formula against itself can never fail for
+scorer reasons. This module provides a small but architecturally real
+cross-encoder — embeddings + positions, multi-head self-attention with a
+key-padding mask, GELU FFN, residuals + layernorm, CLS pooling, 2-class
+linear head, softmax — in pure numpy, with weights frozen from a seeded
+RNG (no binary fixtures, fully reproducible).
+
+What the gate then actually validates: the DISTRIBUTED scoring path —
+pair serialization, Arrow batching, per-worker model pinning,
+micro-batch padding + masking, threshold decisions — against a
+single-node oracle that implements the same forward independently and
+scores each pair UNPADDED (tests/reference_model_oracle.py). Real
+failure modes this catches that the surrogate gate could not: attention
+leaking across pad positions, batch-boundary/order effects, tokenizer
+drift between plan and oracle, float-accumulation divergence.
+
+The weight layout mirrors the reference checkpoint contract
+(ditto_light/ditto.py:227-239: {"model": state_dict} with bert.* encoder
+keys and fc.* head keys), so `from_state_arrays` can also load a REAL
+converted checkpoint (torch -> npz) when one is available.
+"""
+
+from __future__ import annotations
+
+import hashlib
+
+import numpy as np
+import pandas as pd
+
+
+def hash_token_id(token: str, vocab_size: int) -> int:
+    """Stable cross-process token id (no torch/HF vocab available):
+    md5-based, reserved ids 0=PAD, 1=CLS, 2=SEP."""
+    h = int(hashlib.md5(token.encode("utf-8")).hexdigest()[:15], 16)
+    return 3 + (h % (vocab_size - 3))
+
+
+def tokenize_pair(left: str, right: str, vocab_size: int,
+                  max_len: int) -> list[int]:
+    """[CLS] left [SEP] right [SEP], whitespace-lowercase tokens,
+    truncated to max_len (the reference tokenizes the pair jointly with
+    truncation, dataset.py encode(text_pair=...))."""
+    ids = [1]
+    for tok in (left or "").lower().split():
+        ids.append(hash_token_id(tok, vocab_size))
+    ids.append(2)
+    for tok in (right or "").lower().split():
+        ids.append(hash_token_id(tok, vocab_size))
+    ids.append(2)
+    return ids[:max_len]
+
+
+def _layer_norm(x: np.ndarray, g: np.ndarray, b: np.ndarray) -> np.ndarray:
+    mu = x.mean(-1, keepdims=True)
+    var = x.var(-1, keepdims=True)
+    return (x - mu) / np.sqrt(var + 1e-5) * g + b
+
+
+def _gelu(x: np.ndarray) -> np.ndarray:
+    return 0.5 * x * (1.0 + np.tanh(
+        np.sqrt(2.0 / np.pi) * (x + 0.044715 * x ** 3)))
+
+
+def _softmax(x: np.ndarray, axis: int = -1) -> np.ndarray:
+    e = np.exp(x - x.max(axis=axis, keepdims=True))
+    return e / e.sum(axis=axis, keepdims=True)
+
+
+DEFAULT_CONFIG = dict(vocab_size=2048, d_model=64, n_heads=4,
+                      d_ff=128, n_layers=2, max_len=128)
+
+
+def make_weights(seed: int = 0, config: dict | None = None) -> dict:
+    """Frozen random weights, torch-checkpoint-shaped keys. Scaled ~1/sqrt
+    (fan_in) so activations stay O(1) through the stack."""
+    cfg = dict(DEFAULT_CONFIG, **(config or {}))
+    rng = np.random.default_rng(seed)
+    d, ff, v, L = (cfg["d_model"], cfg["d_ff"], cfg["vocab_size"],
+                   cfg["n_layers"])
+
+    def mat(m, n):
+        return rng.normal(0.0, 1.0 / np.sqrt(n), (m, n)).astype(np.float64)
+
+    w = {
+        "bert.embeddings.word_embeddings.weight": mat(v, d) * np.sqrt(d),
+        "bert.embeddings.position_embeddings.weight":
+            mat(cfg["max_len"], d) * 0.1,
+        "bert.embeddings.LayerNorm.weight": np.ones(d),
+        "bert.embeddings.LayerNorm.bias": np.zeros(d),
+        "fc.weight": mat(2, d),
+        "fc.bias": np.zeros(2),
+        "_config": np.array([v, d, cfg["n_heads"], ff, L, cfg["max_len"]]),
+    }
+    for i in range(L):
+        p = f"bert.encoder.layer.{i}."
+        w[p + "attention.q.weight"] = mat(d, d)
+        w[p + "attention.k.weight"] = mat(d, d)
+        w[p + "attention.v.weight"] = mat(d, d)
+        w[p + "attention.out.weight"] = mat(d, d)
+        w[p + "attention.LayerNorm.weight"] = np.ones(d)
+        w[p + "attention.LayerNorm.bias"] = np.zeros(d)
+        w[p + "ffn.in.weight"] = mat(ff, d)
+        w[p + "ffn.in.bias"] = np.zeros(ff)
+        w[p + "ffn.out.weight"] = mat(d, ff)
+        w[p + "ffn.out.bias"] = np.zeros(d)
+        w[p + "ffn.LayerNorm.weight"] = np.ones(d)
+        w[p + "ffn.LayerNorm.bias"] = np.zeros(d)
+    return w
+
+
+def save_checkpoint(weights: dict, path: str) -> None:
+    """Persist weights as .npz (the torch->numpy converted form of the
+    reference checkpoint layout, ditto_light/ditto.py:227-239)."""
+    np.savez(path, **{k: np.asarray(v) for k, v in weights.items()})
+
+
+def load_checkpoint(path: str) -> dict:
+    """Load an .npz checkpoint; validates the reference key layout the
+    same way TorchDittoBackend._load does (fail loudly on wrong format —
+    a silently partial load would serve near-random predictions)."""
+    with np.load(path) as z:
+        w = {k: z[k] for k in z.files}
+    if "_config" not in w:
+        raise ValueError(f"{path!r}: missing _config — not a converted "
+                         "matcher checkpoint")
+    enc = [k for k in w if k.startswith("bert.")]
+    head = [k for k in w if k.startswith("fc.")]
+    if not enc or not head:
+        raise ValueError(
+            f"{path!r} has no 'bert.*'/'fc.*' keys "
+            f"(got {sorted(w)[:5]}...); not a reference-layout checkpoint")
+    return w
+
+
+class NumpyCrossEncoder:
+    """Batched masked forward. Input: padded id matrix (B, T) with PAD=0.
+    Output: P(match) per row (softmax class 1, ditto.py:58-66)."""
+
+    def __init__(self, weights: dict):
+        self.w = {k: np.asarray(v) for k, v in weights.items()}
+        v, d, h, ff, L, ml = (int(x) for x in self.w["_config"])
+        self.vocab_size, self.d_model, self.n_heads = v, d, h
+        self.d_ff, self.n_layers, self.max_len = ff, L, ml
+
+    def forward(self, ids: np.ndarray) -> np.ndarray:
+        w = self.w
+        B, T = ids.shape
+        mask = ids != 0  # (B, T) key-padding mask
+        x = (w["bert.embeddings.word_embeddings.weight"][ids]
+             + w["bert.embeddings.position_embeddings.weight"][:T])
+        x = _layer_norm(x, w["bert.embeddings.LayerNorm.weight"],
+                        w["bert.embeddings.LayerNorm.bias"])
+        x = x * mask[..., None]
+        hd = self.d_model // self.n_heads
+        neg = np.float64(-1e9)
+        for i in range(self.n_layers):
+            p = f"bert.encoder.layer.{i}."
+            q = x @ w[p + "attention.q.weight"].T
+            k = x @ w[p + "attention.k.weight"].T
+            v = x @ w[p + "attention.v.weight"].T
+            # (B, H, T, hd)
+            def heads(m):
+                return m.reshape(B, T, self.n_heads, hd).transpose(
+                    0, 2, 1, 3)
+            qh, kh, vh = heads(q), heads(k), heads(v)
+            att = qh @ kh.transpose(0, 1, 3, 2) / np.sqrt(hd)
+            att = np.where(mask[:, None, None, :], att, neg)
+            att = _softmax(att, axis=-1)
+            ctx = (att @ vh).transpose(0, 2, 1, 3).reshape(B, T,
+                                                           self.d_model)
+            ctx = ctx @ w[p + "attention.out.weight"].T
+            x = _layer_norm(x + ctx, w[p + "attention.LayerNorm.weight"],
+                            w[p + "attention.LayerNorm.bias"])
+            f = _gelu(x @ w[p + "ffn.in.weight"].T + w[p + "ffn.in.bias"])
+            f = f @ w[p + "ffn.out.weight"].T + w[p + "ffn.out.bias"]
+            x = _layer_norm(x + f, w[p + "ffn.LayerNorm.weight"],
+                            w[p + "ffn.LayerNorm.bias"])
+            x = x * mask[..., None]
+        cls = x[:, 0, :]  # ditto.py:52-57 CLS pooling
+        logits = cls @ w["fc.weight"].T + w["fc.bias"]
+        return _softmax(logits, axis=-1)[:, 1]
+
+
+class NumpyDittoBackend:
+    """score_batch backend over the numpy cross-encoder: tokenizes pairs,
+    pads per micro-batch (NOT globally — padding length varies with batch
+    composition, which is exactly what the mask must neutralize), and
+    runs the batched forward. Interface-identical to TorchDittoBackend."""
+
+    fingerprint = "numpy-cross-encoder-seed0"
+
+    def __init__(self, weights: dict | None = None, seed: int = 0,
+                 micro_batch: int = 64):
+        self.model = NumpyCrossEncoder(weights or make_weights(seed))
+        self.micro_batch = micro_batch
+
+    def score_batch(self, left: pd.Series, right: pd.Series) -> pd.Series:
+        probs: list[float] = []
+        pairs = list(zip(left.tolist(), right.tolist()))
+        for i in range(0, len(pairs), self.micro_batch):
+            chunk = pairs[i:i + self.micro_batch]
+            seqs = [tokenize_pair(a, b, self.model.vocab_size,
+                                  self.model.max_len) for a, b in chunk]
+            t = max(len(s) for s in seqs)
+            ids = np.zeros((len(seqs), t), dtype=np.int64)
+            for r, s in enumerate(seqs):
+                ids[r, :len(s)] = s
+            probs.extend(self.model.forward(ids).tolist())
+        return pd.Series(probs, index=left.index, dtype="float64")

@@ -229,18 +229,31 @@ class TorchDittoBackend:
         tok = AutoTokenizer.from_pretrained(self.lm)
         enc = AutoModel.from_pretrained(self.lm)
         head = torch.nn.Linear(enc.config.hidden_size, 2)
-        state = torch.load(self.checkpoint_path, map_location="cpu")
+        # weights_only: a checkpoint is data, not code — the default
+        # pickle path executes arbitrary callables embedded in a
+        # malicious/corrupt file
+        state = torch.load(self.checkpoint_path, map_location="cpu",
+                           weights_only=True)
         # reference checkpoint layout: {model: state_dict,...}
         # (ditto_light/ditto.py:227-239)
         sd = state.get("model", state)
         enc_sd = {k[len("bert."):]: v for k, v in sd.items()
                   if k.startswith("bert.")}
-        if enc_sd:
-            enc.load_state_dict(enc_sd, strict=False)
         head_sd = {k[len("fc."):]: v for k, v in sd.items()
                    if k.startswith("fc.")}
-        if head_sd:
-            head.load_state_dict(head_sd)
+        # fail loudly on a wrong-format checkpoint: silently skipping an
+        # empty/partial state dict would serve near-random predictions
+        if not enc_sd or not head_sd:
+            raise ValueError(
+                f"checkpoint {self.checkpoint_path!r} has no "
+                f"'bert.*'/'fc.*' keys (got {sorted(sd)[:5]}...); not a "
+                "reference-layout matcher checkpoint")
+        missing, unexpected = enc.load_state_dict(enc_sd, strict=False)
+        if missing:
+            raise ValueError(
+                f"checkpoint encoder state incomplete for lm={self.lm}: "
+                f"{len(missing)} missing keys, e.g. {missing[:3]}")
+        head.load_state_dict(head_sd)  # strict: both keys must be present
         enc.eval()
         self._model = (tok, enc, head)
 
@@ -361,3 +374,56 @@ def tune_threshold(scored_valid: DataFrame, label_col: str = "label",
         .first()
     )
     return float(best["th"])
+
+
+def tune_threshold_verified(
+    scored_valid: DataFrame, label_col: str = "label", p_col: str = "p1",
+) -> tuple[float, float, float]:
+    """tune_threshold + the reference's sanity re-predict
+    (matcher.py:229-251: after the sweep picks a threshold, it re-runs
+    prediction at that threshold and cross-checks the two code paths).
+
+    The sweep computes F1 via a threshold-grid explode + one
+    groupBy(threshold) aggregate; the re-predict computes it via the
+    normal decision path (a per-row comparison + f1_agg). Those are
+    DIFFERENT plans that must agree at the winning threshold — drift
+    (e.g. a > vs >= mismatch, a grid rounding bug, or an aggregation
+    error) raises. Returns (threshold, swept_f1, repredicted_f1)."""
+    # sweep plan (same shape as tune_threshold, keeping the winning F1)
+    grid = F.transform(F.sequence(F.lit(0), F.lit(19)),
+                       lambda i: i.cast("double") * 0.05)
+    ex = scored_valid.select(
+        F.col(label_col).alias("y"), F.col(p_col).alias("p"),
+        F.explode(grid).alias("th"),
+    ).withColumn("pred", (F.col("p") > F.col("th")).cast("int"))
+    best = (
+        ex.groupBy("th")
+        .agg(
+            F.sum(F.when((F.col("y") == 1) & (F.col("pred") == 1), 1)
+                  .otherwise(0)).alias("tp"),
+            F.sum(F.when((F.col("y") == 0) & (F.col("pred") == 1), 1)
+                  .otherwise(0)).alias("fp"),
+            F.sum(F.when((F.col("y") == 1) & (F.col("pred") == 0), 1)
+                  .otherwise(0)).alias("fn"),
+        )
+        .withColumn(
+            "f1",
+            F.when(2 * F.col("tp") + F.col("fp") + F.col("fn") > 0,
+                   2 * F.col("tp")
+                   / (2 * F.col("tp") + F.col("fp") + F.col("fn")))
+            .otherwise(F.lit(0.0)),
+        )
+        .orderBy(F.desc("f1"), F.asc("th"))
+        .limit(1)
+        .first()
+    )
+    th, swept_f1 = float(best["th"]), float(best["f1"])
+    # independent decision-path re-predict at th
+    repredicted = scored_valid.withColumn(
+        "_pred", (F.col(p_col) > F.lit(th)).cast("int"))
+    re_f1 = f1_agg(repredicted, label_col, "_pred")
+    if abs(swept_f1 - re_f1) > 1e-9:
+        raise AssertionError(
+            f"threshold sweep/re-predict divergence at th={th}: "
+            f"sweep={swept_f1} re-predict={re_f1}")
+    return th, swept_f1, re_f1

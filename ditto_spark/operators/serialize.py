@@ -173,11 +173,25 @@ def split_production(df: DataFrame, id_col: str | None = None) -> DataFrame:
         )
         for f in fields
     ]
-    rid = (F.col(id_col).cast("string") if id_col
-           else F.monotonically_increasing_id().cast("string"))
-    return df.select(
-        F.concat(F.lit("L"), rid).alias("left_id"),
-        F.concat(F.lit("R"), rid).alias("right_id"),
+    out = df.select(
         F.concat_ws(" ", *lpieces).alias("left_text"),
         F.concat_ws(" ", *rpieces).alias("right_text"),
+        *([F.col(id_col).cast("string").alias("_rid")] if id_col else []),
+    )
+    if id_col is None:
+        # deterministic pair id: content hash of the serialized pair.
+        # monotonically_increasing_id() is partition-dependent — labels
+        # would not be stable across recomputations/reruns, breaking
+        # joins against previously persisted match output.
+        from ditto_spark.operators.hashing import porthash
+
+        out = out.withColumn(
+            "_rid",
+            porthash(F.concat_ws("\t", "left_text", "right_text"))
+            .cast("string"))
+    return out.select(
+        F.concat(F.lit("L"), F.col("_rid")).alias("left_id"),
+        F.concat(F.lit("R"), F.col("_rid")).alias("right_id"),
+        "left_text",
+        "right_text",
     )

@@ -118,9 +118,12 @@ def ivf_topk(
     vec_col: str = "embedding",
     seed: int = 42,
     sample_fraction: float = 1.0,
+    exclude_self: bool = True,
 ) -> DataFrame:
     """IVF-style ANN: k-means coarse quantizer -> probe the n_probe
     nearest cells -> exact cosine re-rank inside them.
+    ``exclude_self=False`` keeps same-id pairs (two-table callers, where
+    a left id may legitimately equal a right id).
 
     Scale shape: centroids are trained once on a sample (pyspark.ml
     KMeans) and broadcast; cell assignment is a broadcast join + window
@@ -184,8 +187,9 @@ def ivf_topk(
                       F.col("vec").alias("qv"), "cell")
         .join(base.select(F.col("id").alias("neighbor_id"),
                           F.col("vec").alias("nv"), "cell"), "cell")
-        .filter(F.col("query_id") != F.col("neighbor_id"))
     )
+    if exclude_self:
+        cands = cands.filter(F.col("query_id") != F.col("neighbor_id"))
     scored = cands.withColumn(
         "cosine", F.round(cosine(F.col("qv"), F.col("nv")), 6))
     w = Window.partitionBy("query_id").orderBy(

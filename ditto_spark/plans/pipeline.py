@@ -49,6 +49,13 @@ class PipelineConfig:
     # native expression (whole-stage codegen, no Python workers). A real
     # model backend (torch) always routes through the mapInPandas path.
     native_scorer: bool = True
+    # reference-exact PAIR summarizer applied to candidates before
+    # scoring (the reference's .su stage ordering, summarize.py:63-109);
+    # required for bit-compatibility with checkpoints trained with
+    # summarization. Off by default: the showcase pipeline uses the
+    # order-preserving per-doc variant via use_summarizer.
+    ref_summarizer: bool = False
+    ref_summarizer_max_len: int = 128
 
 
 def sn_key(text_col: str = "text"):
@@ -106,29 +113,52 @@ def run_pipeline(
     serialized = ck("serialized", fp_ser,
                     lambda: _preprocess(spark, docs, cfg))
 
-    # 2. blocking: two passes, unioned + deduped
+    # 2. blocking: two passes paired on ids only, unioned + deduped, then
+    # texts attached ONCE — the bucket joins and the pair dedup never
+    # shuffle the wide serialized strings
     def build_candidates() -> DataFrame:
         mh = B.minhash_lsh_blocking(
             serialized, n_hashes=cfg.minhash_hashes, bands=cfg.minhash_bands,
             shingle_n=cfg.shingle_n, max_bucket_rows=cfg.max_bucket_rows,
+            with_texts=False,
         )
-        sn = B.sorted_neighborhood(serialized, sn_key(), window=cfg.sn_window)
-        return B.union_candidates(mh, sn)
+        sn = B.sorted_neighborhood(serialized, sn_key(), window=cfg.sn_window,
+                                   with_texts=False)
+        return B.attach_texts(B.union_candidates(mh, sn), serialized)
 
     fp_cand = fingerprint_of("block", fp_ser, cfg.minhash_hashes,
                              cfg.minhash_bands, cfg.shingle_n,
                              cfg.sn_window, cfg.max_bucket_rows)
-    candidates = ck("candidates", fp_cand, build_candidates)
+    if store is None:
+        # candidates has exactly ONE downstream consumer (scoring), so
+        # without a checkpoint store it stays lazy and fuses into the
+        # scored stage — materializing the widest table (pairs + both
+        # texts) into the block manager and reading it back costs more
+        # than the dedup groupBy it would save. With a store it persists
+        # as its own resumable stage.
+        candidates = build_candidates()
+    else:
+        candidates = ck("candidates", fp_cand, build_candidates)
 
     # 3. score
     use_native = cfg.native_scorer and cfg.backend_factory is SurrogateBackend
     fp_scored = fingerprint_of("score", fp_cand, cfg.threshold,
-                               backend_name)
+                               backend_name, cfg.ref_summarizer,
+                               cfg.ref_summarizer_max_len)
 
     def build_scored() -> DataFrame:
+        cands = candidates
+        if cfg.ref_summarizer:
+            from ditto_spark.operators.summarize_ref import (
+                build_ref_tfidf, summarize_pairs_ref,
+            )
+
+            vocab = build_ref_tfidf(spark, serialized, text_col="text")
+            cands = summarize_pairs_ref(
+                cands, vocab, max_len=cfg.ref_summarizer_max_len)
         if use_native:
-            return score_pairs_native(candidates, cfg.threshold)
-        return score_pairs(candidates, cfg.threshold, cfg.backend_factory)
+            return score_pairs_native(cands, cfg.threshold)
+        return score_pairs(cands, cfg.threshold, cfg.backend_factory)
 
     scored = ck("scored", fp_scored, build_scored)
     matches = scored.select("left_id", "right_id", "match",

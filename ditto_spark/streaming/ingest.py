@@ -21,15 +21,24 @@ from ditto_spark.schema import DOC_SCHEMA
 
 def read_doc_stream(spark: SparkSession, path: str,
                     with_ts: bool = True) -> DataFrame:
-    """File-source stream of spans docs (parquet dir); event time from an
-    ``ingest_ts`` column if present else processing time."""
+    """File-source stream of spans docs (parquet dir). Event time comes
+    from the source's ``ingest_ts`` column; rows without one fall back to
+    processing time (current_timestamp at read) — otherwise null event
+    times would be silently dropped by every downstream watermark.
+    ``with_ts=False`` keeps nulls as-is for callers that filter or
+    assign event time themselves."""
     from pyspark.sql.types import StructField, StructType, TimestampType
 
     schema = StructType(
         list(DOC_SCHEMA.fields)
         + [StructField("ingest_ts", TimestampType(), True)]
     )
-    return spark.readStream.schema(schema).parquet(path)
+    stream = spark.readStream.schema(schema).parquet(path)
+    if with_ts:
+        stream = stream.withColumn(
+            "ingest_ts",
+            F.coalesce(F.col("ingest_ts"), F.current_timestamp()))
+    return stream
 
 
 def serialize_stream(docs: DataFrame) -> DataFrame:

@@ -1,0 +1,109 @@
+"""Differential test: the Spark reference-exact pair summarizer must
+reproduce the reference transform (via the transcribed single-node
+oracle) string-for-string on 500 fixture pairs, and the TF-IDF fit must
+match the sklearn formula the reference uses."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from ditto_spark.operators.summarize_ref import (
+    build_ref_tfidf, default_len_fn, summarize_pair_py, summarize_pairs_ref,
+)
+from tests.ref_summarizer_oracle import fit_tfidf, transform
+
+
+def _fixture_pairs(spark, n_pairs=500):
+    """Serialized synthetic docs paired off deterministically — includes
+    near-dup pairs (planted) and unrelated pairs."""
+    from ditto_spark.operators.serialize import serialize_docs
+    from ditto_spark.synth import distributed_docs
+
+    docs = serialize_docs(distributed_docs(spark, n_pairs * 2, seed=13))
+    ser = docs.select("doc_id", "text").orderBy("doc_id").collect()
+    pairs = []
+    for i in range(n_pairs):
+        a = ser[2 * i]["text"]
+        b = ser[2 * i + 1]["text"]
+        pairs.append((f"p{i}", a, b))
+    return pairs, [r["text"] for r in ser]
+
+
+def test_tfidf_fit_matches_sklearn_formula(spark):
+    _, entries = _fixture_pairs(spark, 50)
+    edf = spark.createDataFrame([(e,) for e in entries], "text string")
+    got = build_ref_tfidf(spark, edf)
+    want = fit_tfidf(entries)
+    assert set(got) == set(want)
+    for t in want:
+        assert abs(got[t] - want[t]) < 1e-12, t
+
+
+def test_max_vocab_cap_keeps_top_df(spark):
+    edf = spark.createDataFrame(
+        [("aa bb",), ("aa bb",), ("aa cc",)], "text string")
+    got = build_ref_tfidf(spark, edf, max_vocab=2)
+    assert set(got) == {"aa", "bb"}  # df 3 and 2; cc (df 1) dropped
+
+
+@pytest.mark.parametrize("max_len", [16, 64, 128])
+def test_spark_summarizer_matches_reference_oracle(spark, max_len):
+    pairs, entries = _fixture_pairs(spark, 500)
+    idf_oracle = fit_tfidf(entries)
+
+    pdf = spark.createDataFrame(
+        pairs, "pair_id string, left_text string, right_text string")
+    out = summarize_pairs_ref(pdf, idf_oracle, max_len=max_len)
+    got = {r["pair_id"]: (r["left_text"], r["right_text"])
+           for r in out.collect()}
+
+    mismatches = []
+    for pid, a, b in pairs:
+        want = transform(a, b, idf_oracle, max_len, default_len_fn)
+        if got[pid] != want:
+            mismatches.append((pid, got[pid], want))
+    assert not mismatches, mismatches[:3]
+
+
+def test_reference_quirks_reproduced():
+    """The three behaviors the round-1 variant missed (VERDICT 'What's
+    missing' #2): budget break (not skip), emit-once, marker charge."""
+    idf = {"aaaaaaaa": 5.0, "bb": 4.0, "cc": 3.0}
+    # max_len=4: COL+VAL charge 2; 'aaaaaaaa' costs 2 pieces -> total 4;
+    # 'bb' would overflow -> BREAK, so 'cc' (still fitting after skip in
+    # a non-reference implementation) must NOT appear either
+    a = "COL n VAL aaaaaaaa bb cc"
+    sa, _ = summarize_pair_py(a, "", idf, max_len=4)
+    assert sa == "COL VAL aaaaaaaa"
+    # emit-once: repeated kept token appears only at first position
+    b = "COL n VAL bb cc bb"
+    sb, _ = summarize_pair_py(b, "", idf, max_len=6)
+    assert sb.split().count("bb") == 1
+    # pair-shared counter: a token frequent on BOTH sides outranks a
+    # same-idf token on one side
+    idf2 = {"xx": 1.0, "yy": 1.0}
+    left = "xx yy"
+    right = "xx zz"
+    # budget of 3 = markers 0 + room for 3 single-piece words; max_len=1
+    # forces choosing one word: xx (weight 2.0 across the pair) wins
+    sa2, _ = summarize_pair_py(left, right, idf2, max_len=1)
+    assert sa2 == "xx"
+
+
+def test_oov_tokens_score_zero():
+    """summarize.py:83-84 — tokens outside the fitted vocabulary add
+    nothing, AND the reference's candidate set includes the COL/VAL
+    markers themselves (set(token_cnt.keys()) at :93) with weight 0,
+    where they consume selection-loop budget. With an empty vocab and
+    max_len=3 the markers charge 2 up front, 'COL' (ties at 0, uppercase
+    sorts first) eats the last budget slot, and the break leaves no
+    content token kept."""
+    sa, _ = summarize_pair_py("COL k VAL zz aa", "", {}, max_len=3)
+    assert sa == "COL VAL"
+    # one more budget slot: ties at 0 break by token asc -> 'aa' beats
+    # 'k' ... both fit at 6; 'zz' (sorts last) is the one cut
+    sb, _ = summarize_pair_py("COL k VAL zz aa", "", {}, max_len=6)
+    assert sb == "COL k VAL aa"
+    sc, _ = summarize_pair_py("COL k VAL zz aa", "", {}, max_len=8)
+    assert sc == "COL k VAL zz aa"
