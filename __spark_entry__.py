@@ -723,6 +723,25 @@ def _dedup_ngram_jaccard_capped(spark, sf_dir):
         "left_id", "right_id")
 
 
+def _er_model_scores(spark, sf_dir):
+    """M1-M3 with the REAL (numpy) transformer cross-encoder through the
+    distributed mapInPandas path: SN candidates scored batched+padded per
+    worker. Deterministic (frozen seeded weights) but not one SQL query —
+    rows-only check; fidelity is gated by tests/test_model_gate.py's
+    differential against the unpadded single-node forward."""
+    from ditto_spark.operators.npmodel import NumpyDittoBackend, make_weights
+    from ditto_spark.operators.scoring import score_pairs
+
+    w = make_weights(seed=0)
+    ser = _er_serialize(spark, sf_dir).select(
+        "doc_id", F.col("serialized").alias("text"))
+    pairs = sorted_neighborhood(ser, F.lower(F.col("text")), window=1)
+    scored = score_pairs(pairs, 0.10,
+                         lambda: NumpyDittoBackend(w, micro_batch=64))
+    return scored.select("left_id", "right_id", "match",
+                         F.round("p1", 6).alias("p1r"))
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "q1_pricing_summary": _q1_pricing_summary,
@@ -770,6 +789,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "er_pipeline_sql": _er_pipeline_sql,
         "er_threshold_verified": _er_threshold_verified,
         "dedup_ngram_jaccard_capped": _dedup_ngram_jaccard_capped,
+        "er_model_scores": _er_model_scores,
     }
 
 

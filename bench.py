@@ -103,9 +103,15 @@ def _prepare_scale_docs(n_docs: int) -> str:
     return path
 
 
-def _leg(cores: int, n_docs: int) -> float:
+def _leg(cores: int, n_docs: int, scorer: str = "native") -> float:
     """One scaling leg, run INSIDE a fresh process: docs/sec of the full
-    ER DAG reading the pre-materialized spans parquet."""
+    ER DAG reading the pre-materialized spans parquet.
+
+    scorer='native': whole-stage-codegen surrogate scoring — the
+    shuffle/codegen-bound profile. scorer='model': the numpy transformer
+    cross-encoder through mapInPandas (the north_star's production
+    profile — batched model inference dominates and parallelizes across
+    python workers)."""
     from ditto_spark.plans.pipeline import PipelineConfig, run_pipeline
     from ditto_spark.session import clear_operator_caches, get_spark
 
@@ -118,21 +124,30 @@ def _leg(cores: int, n_docs: int) -> float:
     # warm JVM codegen with a tiny pipeline so the timed section measures
     # throughput, not session spin-up — at cluster scale those costs
     # amortize over hours, not one job
+    if scorer == "model":
+        from ditto_spark.operators.npmodel import default_numpy_backend
+
+        cfg = PipelineConfig(sn_window=2,
+                             backend_factory=default_numpy_backend,
+                             native_scorer=False, threshold=0.1)
+    else:
+        cfg = PipelineConfig(sn_window=2)
     path = f"{SCALE_DOCS_DIR}_{n_docs}"
     docs = spark.read.parquet(path)
     warm = docs.limit(500).localCheckpoint()
-    run_pipeline(spark, warm, PipelineConfig(sn_window=2))[
+    run_pipeline(spark, warm, cfg)[
         "entities"].write.format("noop").mode("overwrite").save()
     clear_operator_caches(spark)
     t0 = time.monotonic()
-    out = run_pipeline(spark, docs, PipelineConfig(sn_window=2))
+    out = run_pipeline(spark, docs, cfg)
     out["entities"].write.format("noop").mode("overwrite").save()
     dt = time.monotonic() - t0
     return n_docs / dt
 
 
 def _pipeline_throughput(cores: int, n_docs: int,
-                         repeats: int | None = None) -> float:
+                         repeats: int | None = None,
+                         scorer: str = "native") -> float:
     """Throughput of one leg = BEST of `repeats` runs, each in a fresh
     subprocess.
 
@@ -151,7 +166,7 @@ def _pipeline_throughput(cores: int, n_docs: int,
     for _ in range(repeats):
         proc = subprocess.run(
             [sys.executable, os.path.abspath(__file__), "--leg",
-             str(cores), "--docs", str(n_docs)],
+             str(cores), "--docs", str(n_docs), "--scorer", scorer],
             capture_output=True, text=True, check=True,
             cwd=os.path.dirname(os.path.abspath(__file__)),
         )
@@ -178,8 +193,9 @@ def run_scaling(n_docs: int = 300000) -> dict:
     pairs = [tuple(int(x) for x in p.split(":"))
              for p in pairs_env.split(",")]
     cores = sorted({c for p in pairs for c in p})
+    scorer = os.environ.get("SPARK_GRAFT_SCALE_SCORER", "model")
     _prepare_scale_docs(n_docs)
-    tp = {c: _pipeline_throughput(c, n_docs) for c in cores}
+    tp = {c: _pipeline_throughput(c, n_docs, scorer=scorer) for c in cores}
     effs = {}
     for lo, hi in pairs:
         effs[f"{lo}->{hi}"] = round((tp[hi] / tp[lo]) / (hi / lo), 3)
@@ -195,13 +211,15 @@ def run_scaling(n_docs: int = 300000) -> dict:
         },
         "sf": n_docs,
         "n_docs": n_docs,
+        "scorer": scorer,
     }
     lines = [
         "",
         f"## Scaling run ({time.strftime('%Y-%m-%d %H:%M:%S')})",
         "",
-        f"Full ER pipeline (serialize -> block -> score -> cluster) on "
-        f"{n_docs} synthetic interleaved-spans docs, each leg best-of-"
+        f"Full ER pipeline (serialize -> block -> score -> cluster, "
+        f"scorer={scorer}) on {n_docs} synthetic interleaved-spans docs, "
+        f"each leg best-of-"
         f"{os.environ.get('SPARK_GRAFT_SCALE_REPEATS', '3')} fresh "
         f"subprocesses reading the same pre-materialized parquet:",
         "",
@@ -231,7 +249,9 @@ if __name__ == "__main__":
     if "--leg" in sys.argv:
         cores_ = int(sys.argv[sys.argv.index("--leg") + 1])
         docs_ = int(sys.argv[sys.argv.index("--docs") + 1])
-        print(_leg(cores_, docs_))
+        scorer_ = (sys.argv[sys.argv.index("--scorer") + 1]
+                   if "--scorer" in sys.argv else "native")
+        print(_leg(cores_, docs_, scorer_))
     elif "--scaling" in sys.argv:
         n = int(os.environ.get("SPARK_GRAFT_SCALE_DOCS", "300000"))
         print(json.dumps(run_scaling(n)))

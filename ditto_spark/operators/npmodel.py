@@ -73,8 +73,13 @@ def _softmax(x: np.ndarray, axis: int = -1) -> np.ndarray:
     return e / e.sum(axis=axis, keepdims=True)
 
 
-DEFAULT_CONFIG = dict(vocab_size=2048, d_model=64, n_heads=4,
-                      d_ff=128, n_layers=2, max_len=128)
+# fixture-sized: the gate validates DISTRIBUTED plumbing (masking,
+# batching, ordering, thresholds), not model capacity — and this numpy
+# runs single-threaded per python worker, so smaller dims keep the
+# compute-bound scaling bench legs tractable (d=64/T=128 measured
+# ~15 pairs/sec/core on this box's BLAS; this config ~10x that)
+DEFAULT_CONFIG = dict(vocab_size=1024, d_model=32, n_heads=2,
+                      d_ff=64, n_layers=2, max_len=64)
 
 
 def make_weights(seed: int = 0, config: dict | None = None) -> dict:
@@ -86,16 +91,16 @@ def make_weights(seed: int = 0, config: dict | None = None) -> dict:
                    cfg["n_layers"])
 
     def mat(m, n):
-        return rng.normal(0.0, 1.0 / np.sqrt(n), (m, n)).astype(np.float64)
+        return rng.normal(0.0, 1.0 / np.sqrt(n), (m, n)).astype(np.float32)
 
     w = {
         "bert.embeddings.word_embeddings.weight": mat(v, d) * np.sqrt(d),
         "bert.embeddings.position_embeddings.weight":
             mat(cfg["max_len"], d) * 0.1,
-        "bert.embeddings.LayerNorm.weight": np.ones(d),
-        "bert.embeddings.LayerNorm.bias": np.zeros(d),
+        "bert.embeddings.LayerNorm.weight": np.ones(d, np.float32),
+        "bert.embeddings.LayerNorm.bias": np.zeros(d, np.float32),
         "fc.weight": mat(2, d),
-        "fc.bias": np.zeros(2),
+        "fc.bias": np.zeros(2, np.float32),
         "_config": np.array([v, d, cfg["n_heads"], ff, L, cfg["max_len"]]),
     }
     for i in range(L):
@@ -104,14 +109,14 @@ def make_weights(seed: int = 0, config: dict | None = None) -> dict:
         w[p + "attention.k.weight"] = mat(d, d)
         w[p + "attention.v.weight"] = mat(d, d)
         w[p + "attention.out.weight"] = mat(d, d)
-        w[p + "attention.LayerNorm.weight"] = np.ones(d)
-        w[p + "attention.LayerNorm.bias"] = np.zeros(d)
+        w[p + "attention.LayerNorm.weight"] = np.ones(d, np.float32)
+        w[p + "attention.LayerNorm.bias"] = np.zeros(d, np.float32)
         w[p + "ffn.in.weight"] = mat(ff, d)
-        w[p + "ffn.in.bias"] = np.zeros(ff)
+        w[p + "ffn.in.bias"] = np.zeros(ff, np.float32)
         w[p + "ffn.out.weight"] = mat(d, ff)
-        w[p + "ffn.out.bias"] = np.zeros(d)
-        w[p + "ffn.LayerNorm.weight"] = np.ones(d)
-        w[p + "ffn.LayerNorm.bias"] = np.zeros(d)
+        w[p + "ffn.out.bias"] = np.zeros(d, np.float32)
+        w[p + "ffn.LayerNorm.weight"] = np.ones(d, np.float32)
+        w[p + "ffn.LayerNorm.bias"] = np.zeros(d, np.float32)
     return w
 
 
@@ -159,7 +164,7 @@ class NumpyCrossEncoder:
                         w["bert.embeddings.LayerNorm.bias"])
         x = x * mask[..., None]
         hd = self.d_model // self.n_heads
-        neg = np.float64(-1e9)
+        neg = np.float32(-1e9)
         for i in range(self.n_layers):
             p = f"bert.encoder.layer.{i}."
             q = x @ w[p + "attention.q.weight"].T
@@ -186,6 +191,16 @@ class NumpyCrossEncoder:
         cls = x[:, 0, :]  # ditto.py:52-57 CLS pooling
         logits = cls @ w["fc.weight"].T + w["fc.bias"]
         return _softmax(logits, axis=-1)[:, 1]
+
+
+def default_numpy_backend():
+    """Picklable factory for pipeline configs: one frozen-seed cross-
+    encoder per python worker (weights regenerated worker-side from the
+    seed — cheaper to ship than an .npz broadcast and bit-identical)."""
+    return NumpyDittoBackend(make_weights(0))
+
+
+default_numpy_backend.fingerprint = "numpy-cross-encoder-seed0"
 
 
 class NumpyDittoBackend:

@@ -146,19 +146,27 @@ def value_tokens_col(text: Column) -> Column:
          be removed first without changing which tokens are skipped);
       2. in the val-free sequence, drop 'col' tokens and any token
          directly preceded by 'col' (the attribute name it introduces).
+
+    The previous-token test is a zip_with against a shifted copy — NOT
+    element_at(base, i) inside a filter lambda: higher-order-function
+    lambdas re-evaluate captured expressions per element, which turns an
+    element_at probe into a full re-split of the text for EVERY token,
+    O(tokens^2) per row (measured ~20x slower on the scoring stage at
+    2 cores). zip_with evaluates its array inputs once per row.
     """
     base = F.filter(
         F.split(F.lower(F.trim(text)), r"\s+"),
         lambda t: (t != "") & (t != "val"),
     )
-
-    def keep(t: Column, i: Column) -> Column:
-        # element_at is 1-based: at i==0 greatest(i,1) reads t itself,
-        # which the first conjunct already constrains to != 'col'
-        prev = F.element_at(base, F.greatest(i, F.lit(1)).cast("int"))
-        return (t != "col") & (prev != "col")
-
-    return F.array_distinct(F.filter(base, keep))
+    prev = F.concat(
+        F.array(F.lit("")),
+        F.slice(base, 1, F.greatest(F.size(base) - 1, F.lit(0))),
+    )
+    kept = F.zip_with(
+        base, prev,
+        lambda t, p: F.when((t != "col") & (p != "col"), t),
+    )
+    return F.array_distinct(F.filter(kept, lambda x: x.isNotNull()))
 
 
 def surrogate_p1_col(left_toks: Column, right_toks: Column) -> Column:
@@ -174,6 +182,51 @@ def surrogate_p1_col(left_toks: Column, right_toks: Column) -> Column:
     logit = F.lit(14.0) * jac + F.lit(4.0) * cont + lr - F.lit(8.0)
     return F.when((na == 0) | (nb == 0), F.lit(0.02)).otherwise(
         F.lit(1.0) / (F.lit(1.0) + F.exp(-logit)))
+
+
+def score_id_pairs_native(
+    pairs: DataFrame,
+    docs: DataFrame,
+    threshold: float = 0.5,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Native scoring for ID-ONLY candidate pairs: value tokens are
+    computed ONCE PER DOCUMENT (300k tokenizations instead of 2x pairs —
+    measured 8x faster than per-pair tokenization at 864k pairs) and the
+    token arrays + texts are attached to the pairs in one two-sided join.
+    Output schema identical to score_pairs."""
+    has_bk = "block_key" in pairs.columns
+    proj = pairs.select(
+        "left_id", "right_id",
+        (F.col("block_key") if has_bk else F.lit(None).cast("string")
+         ).alias("block_key"),
+    )
+    vt = docs.select(
+        F.col(id_col).alias("_vid"), F.col(text_col).alias("_vtxt"),
+        value_tokens_col(F.col(text_col)).alias("_vtok"),
+    )
+    joined = (
+        proj.join(
+            vt.select(F.col("_vid").alias("left_id"),
+                      F.col("_vtxt").alias("left_text"),
+                      F.col("_vtok").alias("_lt")), "left_id")
+        .join(
+            vt.select(F.col("_vid").alias("right_id"),
+                      F.col("_vtxt").alias("right_text"),
+                      F.col("_vtok").alias("_rt")), "right_id")
+    )
+    out = joined.withColumn(
+        "p1", surrogate_p1_col(F.col("_lt"), F.col("_rt"))
+    ).withColumn(
+        "match", (F.col("p1") > F.lit(float(threshold))).cast("int")
+    ).withColumn(
+        "match_confidence",
+        F.when(F.col("match") == 1, F.col("p1")).otherwise(
+            F.lit(1.0) - F.col("p1")),
+    )
+    return out.select("left_id", "right_id", "left_text", "right_text",
+                      "block_key", "p1", "match", "match_confidence")
 
 
 def score_pairs_native(candidates: DataFrame,

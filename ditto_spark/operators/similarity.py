@@ -112,7 +112,7 @@ def ivf_topk(
     emb: DataFrame,
     queries: DataFrame,
     k: int = 10,
-    n_cells: int = 16,
+    n_cells: int | None = 16,
     n_probe: int = 2,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
@@ -133,6 +133,14 @@ def ivf_topk(
     """
     from pyspark.ml.clustering import KMeans
     from pyspark.ml.functions import array_to_vector
+
+    if n_cells is None:
+        # cells must GROW with the corpus or cells get crowded and the
+        # probe join degenerates quadratic: target ~sqrt(n) rows/cell
+        # (IVF convention), floor 16, capped so the centroid literal
+        # stays a sane codegen expression
+        n = emb.count()
+        n_cells = int(min(max(16, round(n ** 0.5)), 4096))
 
     train = emb.select(array_to_vector(
         F.col(vec_col).cast("array<double>")).alias("features"))

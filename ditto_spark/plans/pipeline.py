@@ -22,8 +22,9 @@ from pyspark.sql import functions as F
 from ditto_spark.operators import blocking as B
 from ditto_spark.operators.clustering import assign_entities
 from ditto_spark.operators.knowledge import dk_inject_df
-from ditto_spark.operators.scoring import (SurrogateBackend, score_pairs,
-                                           score_pairs_native)
+from ditto_spark.operators.scoring import (SurrogateBackend,
+                                           score_id_pairs_native,
+                                           score_pairs)
 from ditto_spark.operators.serialize import serialize_docs
 from ditto_spark.operators.summarize import build_idf, summarize_column
 from ditto_spark.sources.checkpoint import CheckpointStore, fingerprint_of
@@ -113,9 +114,11 @@ def run_pipeline(
     serialized = ck("serialized", fp_ser,
                     lambda: _preprocess(spark, docs, cfg))
 
-    # 2. blocking: two passes paired on ids only, unioned + deduped, then
-    # texts attached ONCE — the bucket joins and the pair dedup never
-    # shuffle the wide serialized strings
+    # 2. blocking: two passes paired on ids only, unioned + deduped. The
+    # candidates table stays (left_id, right_id, block_key) — the bucket
+    # joins, pair dedup, and the checkpointed stage never carry the wide
+    # serialized strings; scoring joins texts + per-doc token arrays back
+    # in one pass.
     def build_candidates() -> DataFrame:
         mh = B.minhash_lsh_blocking(
             serialized, n_hashes=cfg.minhash_hashes, bands=cfg.minhash_bands,
@@ -124,9 +127,11 @@ def run_pipeline(
         )
         sn = B.sorted_neighborhood(serialized, sn_key(), window=cfg.sn_window,
                                    with_texts=False)
-        return B.attach_texts(B.union_candidates(mh, sn), serialized)
+        return B.union_candidates(mh, sn)
 
-    fp_cand = fingerprint_of("block", fp_ser, cfg.minhash_hashes,
+    # "block-v2": the stage content changed (id pairs only, no texts) —
+    # old checkpoints must invalidate
+    fp_cand = fingerprint_of("block-v2", fp_ser, cfg.minhash_hashes,
                              cfg.minhash_bands, cfg.shingle_n,
                              cfg.sn_window, cfg.max_bucket_rows)
     if store is None:
@@ -147,18 +152,21 @@ def run_pipeline(
                                cfg.ref_summarizer_max_len)
 
     def build_scored() -> DataFrame:
-        cands = candidates
-        if cfg.ref_summarizer:
-            from ditto_spark.operators.summarize_ref import (
-                build_ref_tfidf, summarize_pairs_ref,
-            )
+        if cfg.ref_summarizer or not use_native:
+            # text-carrying path: model backends (and the reference pair
+            # summarizer) consume left_text/right_text
+            cands = B.attach_texts(candidates, serialized)
+            if cfg.ref_summarizer:
+                from ditto_spark.operators.summarize_ref import (
+                    build_ref_tfidf, summarize_pairs_ref,
+                )
 
-            vocab = build_ref_tfidf(spark, serialized, text_col="text")
-            cands = summarize_pairs_ref(
-                cands, vocab, max_len=cfg.ref_summarizer_max_len)
-        if use_native:
-            return score_pairs_native(cands, cfg.threshold)
-        return score_pairs(cands, cfg.threshold, cfg.backend_factory)
+                vocab = build_ref_tfidf(spark, serialized, text_col="text")
+                cands = summarize_pairs_ref(
+                    cands, vocab, max_len=cfg.ref_summarizer_max_len)
+            return score_pairs(cands, cfg.threshold, cfg.backend_factory)
+        # native path: per-doc token arrays joined onto id pairs
+        return score_id_pairs_native(candidates, serialized, cfg.threshold)
 
     scored = ck("scored", fp_scored, build_scored)
     matches = scored.select("left_id", "right_id", "match",

