@@ -352,12 +352,16 @@ def score_pairs(
         "right_text string, block_key string, p1 double, match int, "
         "match_confidence double"
     )
+    # Cast every input column to its declared type so the operator's
+    # mapInPandas contract is self-enforcing: a valid upstream with e.g.
+    # bigint ids (parquet doc_id) must not be able to make Arrow emit a
+    # schema-violating batch (int64 into a declared string column).
     in_cols = ["left_id", "right_id", "left_text", "right_text"]
     has_bk = "block_key" in candidates.columns
     proj = candidates.select(
-        *in_cols,
-        (F.col("block_key") if has_bk else F.lit(None).cast("string")
-         ).alias("block_key"),
+        *[F.col(c).cast("string").alias(c) for c in in_cols],
+        (F.col("block_key").cast("string") if has_bk
+         else F.lit(None).cast("string")).alias("block_key"),
     )
     th = float(threshold)
 
