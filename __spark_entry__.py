@@ -1525,6 +1525,10 @@ def _dk_general_oracle_sql() -> str:
              AND length(regexp_replace(__TI__, '[-+]', '', 'g')) <= 18
              THEN CAST(CAST(__TI__ AS BIGINT) AS VARCHAR)
         WHEN regexp_matches(__TI__, '^[-+]?\\d*\\.\\d+$')
+             AND CAST(__TI__ AS DOUBLE) = round(CAST(__TI__ AS DOUBLE), 0)
+             AND TRY_CAST(CAST(__TI__ AS DOUBLE) AS BIGINT) IS NOT NULL
+             THEN CAST(TRY_CAST(CAST(__TI__ AS DOUBLE) AS BIGINT) AS VARCHAR)
+        WHEN regexp_matches(__TI__, '^[-+]?\\d*\\.\\d+$')
              THEN printf('%.2f', CAST(__TI__ AS DOUBLE))
         WHEN length(__TI__) >= 7 AND regexp_matches(__TI__, '\\d')
              THEN 'ID ' || __TI__

@@ -66,12 +66,31 @@ def _small_star(edges: DataFrame) -> DataFrame:
 
 
 def connected_components(
-    edges: DataFrame, max_iter: int = 30
+    edges: DataFrame, max_iter: int = 30,
+    checkpoint_dir: str | None = None,
 ) -> DataFrame:
     """edges(src, dst) -> (doc_id, entity_id) with entity_id = the
     component's minimum node id. Nodes appearing only as singletons must
-    be handled by the caller (outer-join docs afterwards)."""
+    be handled by the caller (outer-join docs afterwards).
+
+    Lineage truncation per round: ``localCheckpoint`` by default —
+    executor-local block storage, fastest, fine single-JVM — but blocks
+    are LOST on executor death, which at cluster scale kills a long CC
+    job late in its run. Pass ``checkpoint_dir`` (HDFS/S3 path) for
+    RELIABLE checkpointing via ``sparkContext.setCheckpointDir`` +
+    ``.checkpoint()``: each round's edge set is written to the reliable
+    store so recovery replays from the last round, not from raw edges."""
     from ditto_spark.operators.hashing import porthash
+
+    if checkpoint_dir is not None:
+        sc = edges.sparkSession.sparkContext
+        sc.setCheckpointDir(checkpoint_dir)
+
+        def _truncate(df: DataFrame) -> DataFrame:
+            return df.checkpoint(eager=True)
+    else:
+        def _truncate(df: DataFrame) -> DataFrame:
+            return df.localCheckpoint(eager=True)
 
     def _fingerprint(e: DataFrame) -> tuple:
         """(count, hash-sum) of the edge set — one cheap agg instead of
@@ -90,10 +109,10 @@ def connected_components(
 
     # eager localCheckpoint measured faster than lazy here: the lazy
     # variant re-plans the un-materialized frame inside the star joins
-    cur = _canon(edges).localCheckpoint(eager=True)
+    cur = _truncate(_canon(edges))
     prev_fp = _fingerprint(cur)
     for _ in range(max_iter):
-        nxt = _small_star(_large_star(cur)).localCheckpoint(eager=True)
+        nxt = _truncate(_small_star(_large_star(cur)))
         fp = _fingerprint(nxt)
         cur = nxt
         if fp == prev_fp:

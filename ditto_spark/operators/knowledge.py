@@ -143,9 +143,16 @@ def _general_norm(t: Column) -> Column:
     injector), tokens >= 7 chars containing a digit -> 'ID <token>'."""
     int_ok = t.rlike(_INT) & (F.length(F.regexp_replace(t, r"[-+]", ""))
                               <= 18)
+    # Reference float branch (knowledge.py:155-158): whole-valued floats
+    # take the '%d' form ('5.0' -> '5', val == round(val)), everything
+    # else '%.2f'. try_cast guards long overflow for huge doubles.
+    d = t.cast("double")
+    d_long = d.try_cast("long")
     return (
         F.when(int_ok, F.format_string("%d", t.cast("long")))
-        .when(t.rlike(_FLOAT), F.format_string("%.2f", t.cast("double")))
+        .when(t.rlike(_FLOAT) & (d == F.round(d, 0)) & d_long.isNotNull(),
+              F.format_string("%d", d_long))
+        .when(t.rlike(_FLOAT), F.format_string("%.2f", d))
         .when((F.length(t) >= 7) & t.rlike(_HAS_DIGIT),
               F.concat(F.lit("ID "), t))
         .otherwise(t)

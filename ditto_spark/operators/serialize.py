@@ -183,12 +183,30 @@ def split_production(df: DataFrame, id_col: str | None = None) -> DataFrame:
         # monotonically_increasing_id() is partition-dependent — labels
         # would not be stable across recomputations/reruns, breaking
         # joins against previously persisted match output.
-        from ditto_spark.operators.hashing import porthash
+        #
+        # Width + duplicates: a single 60-bit porthash makes distinct-
+        # content birthday collisions likely near ~10^9 rows and silently
+        # collapses duplicate input rows to one pair id. Two seeded
+        # porthashes give ~120 bits (collision-safe past 10^15 rows), and
+        # a row_number within each hash disambiguates equal-content rows
+        # — duplicate rows are interchangeable, so the *multiset* of ids
+        # stays deterministic across partitionings even though which
+        # physical row takes which suffix is arbitrary.
+        from pyspark.sql import Window
 
-        out = out.withColumn(
+        from ditto_spark.operators.hashing import porthash_seed
+
+        content = F.concat_ws("\t", "left_text", "right_text")
+        h = F.concat_ws(
+            "", porthash_seed(content, 1).cast("string"),
+            F.lit("x"), porthash_seed(content, 2).cast("string"))
+        out = out.withColumn("_h", h).withColumn(
             "_rid",
-            porthash(F.concat_ws("\t", "left_text", "right_text"))
-            .cast("string"))
+            F.concat_ws(
+                "-", F.col("_h"),
+                F.row_number().over(
+                    Window.partitionBy("_h").orderBy(F.lit(1))
+                ).cast("string")))
     return out.select(
         F.concat(F.lit("L"), F.col("_rid")).alias("left_id"),
         F.concat(F.lit("R"), F.col("_rid")).alias("right_id"),

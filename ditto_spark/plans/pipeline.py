@@ -57,6 +57,25 @@ class PipelineConfig:
     # order-preserving per-doc variant via use_summarizer.
     ref_summarizer: bool = False
     ref_summarizer_max_len: int = 128
+    # Bound on the driver-collected ref-TFIDF vocabulary (top-df tokens).
+    # The oracle entries keep max_vocab=None for sklearn-exactness, but
+    # the pipeline default must never collect an unbounded vocab at
+    # corpus scale — under the cap, dropped rare tokens become OOV and
+    # contribute 0 to the pair counter (summarize_ref.build_ref_tfidf
+    # documents the semantics). 1M tokens ≈ tens of MB broadcast.
+    ref_tfidf_max_vocab: int | None = 1_000_000
+
+
+def _native_capable(factory) -> bool:
+    """True iff the backend's decisions are exactly reproduced by the
+    codegen expression in ``score_id_pairs_native``: the default
+    ``SurrogateBackend`` class, a plain instance of it, or any factory
+    that explicitly declares ``native_equivalent = True``. Subclasses do
+    NOT inherit the claim — an overridden ``score_batch`` must not be
+    silently replaced by the surrogate formula."""
+    if factory is SurrogateBackend or type(factory) is SurrogateBackend:
+        return True
+    return getattr(factory, "native_equivalent", False) is True
 
 
 def sn_key(text_col: str = "text"):
@@ -98,7 +117,12 @@ def run_pipeline(
             # EAGER: lazy checkpoints let concurrent downstream branches
             # of one action race to compute the same partitions —
             # measured 3x slower at 32 cores than eager materialization.
-            return build().localCheckpoint(eager=True)
+            from ditto_spark.cachereg import cache_scope
+
+            with cache_scope():
+                # eager: materialized before the scope releases the
+                # operator-internal self-join caches the build registered
+                return build().localCheckpoint(eager=True)
         return store.stage(name, fp, build, partition_by)
 
     # a factory can carry an explicit identity (e.g. torch checkpoint
@@ -146,10 +170,11 @@ def run_pipeline(
         candidates = ck("candidates", fp_cand, build_candidates)
 
     # 3. score
-    use_native = cfg.native_scorer and cfg.backend_factory is SurrogateBackend
+    use_native = cfg.native_scorer and _native_capable(cfg.backend_factory)
     fp_scored = fingerprint_of("score", fp_cand, cfg.threshold,
                                backend_name, cfg.ref_summarizer,
-                               cfg.ref_summarizer_max_len)
+                               cfg.ref_summarizer_max_len,
+                               cfg.ref_tfidf_max_vocab)
 
     def build_scored() -> DataFrame:
         if cfg.ref_summarizer or not use_native:
@@ -161,7 +186,8 @@ def run_pipeline(
                     build_ref_tfidf, summarize_pairs_ref,
                 )
 
-                vocab = build_ref_tfidf(spark, serialized, text_col="text")
+                vocab = build_ref_tfidf(spark, serialized, text_col="text",
+                                        max_vocab=cfg.ref_tfidf_max_vocab)
                 cands = summarize_pairs_ref(
                     cands, vocab, max_len=cfg.ref_summarizer_max_len)
             return score_pairs(cands, cfg.threshold, cfg.backend_factory)

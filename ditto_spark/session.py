@@ -80,7 +80,9 @@ def clear_operator_caches(spark: SparkSession) -> None:
     between independent pipeline runs in a long-lived session — the
     CheckpointStore does this automatically after each stage lands.
     Scoped: only operator-registered frames are unpersisted; caches the
-    caller owns survive."""
-    from ditto_spark.cachereg import release_registered
+    caller owns survive. This releases EVERY scope's registrations — the
+    between-runs hammer; per-run cleanup happens automatically via
+    ``cachereg.cache_scope`` inside pipeline stages."""
+    from ditto_spark.cachereg import release_all
 
-    release_registered()
+    release_all()

@@ -66,18 +66,26 @@ class CheckpointStore:
             if manifest.get("fingerprint") == fingerprint:
                 return self.spark.read.parquet(self._dir(name))
 
+        from ditto_spark.cachereg import cache_scope
+
         t0 = time.monotonic()
-        df = build()
-        # crash consistency: drop any stale manifest BEFORE the data dir
-        # is overwritten. A crash mid-overwrite then leaves a stage with
-        # no manifest (recomputed next run) instead of an old manifest
-        # that would validate partially-written data under the old config.
-        if os.path.exists(mpath):
-            os.remove(mpath)
-        writer = df.write.mode("overwrite")
-        if partition_by:
-            writer = writer.partitionBy(*partition_by)
-        writer.parquet(self._dir(name))
+        # cache_scope: operator-internal self-join caches created while
+        # building THIS stage are released once it lands durably on disk;
+        # caches owned by the caller or by concurrent pipelines in this
+        # session are untouched (scoped registry).
+        with cache_scope():
+            df = build()
+            # crash consistency: drop any stale manifest BEFORE the data
+            # dir is overwritten. A crash mid-overwrite then leaves a
+            # stage with no manifest (recomputed next run) instead of an
+            # old manifest that would validate partially-written data
+            # under the old config.
+            if os.path.exists(mpath):
+                os.remove(mpath)
+            writer = df.write.mode("overwrite")
+            if partition_by:
+                writer = writer.partitionBy(*partition_by)
+            writer.parquet(self._dir(name))
         wall_ms = int((time.monotonic() - t0) * 1000)
 
         out = self.spark.read.parquet(self._dir(name))
@@ -105,13 +113,6 @@ class CheckpointStore:
                 f,
             )
         self.recomputed.append(name)
-        # the stage is durably on disk; operator-internal self-join
-        # caches created while building it are now dead weight — release
-        # exactly those (scoped registry — caches owned by the caller or
-        # by concurrent pipelines in this session are untouched)
-        from ditto_spark.cachereg import release_registered
-
-        release_registered()
         return out
 
     # -- introspection ----------------------------------------------------
