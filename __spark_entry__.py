@@ -696,6 +696,24 @@ def _er_pipeline_sql(spark, sf_dir):
                          F.round("p1", 6).alias("p1r"))
 
 
+def _er_pipeline_entities(spark, sf_dir):
+    """Full-DAG content check reaching the CLUSTERING stage (VERDICT r2
+    #3): serialize -> sorted-neighborhood blocking -> native scoring ->
+    transitive connected components -> (doc_id, entity_id), hash-exact
+    vs a DuckDB oracle whose closure is a recursive CTE. Complements
+    er_pipeline_sql (which stops at pair decisions); the MinHash pass
+    stays rows-only in er_pipeline_matches (xxhash64 has no DuckDB
+    equivalent)."""
+    from ditto_spark.operators.clustering import assign_entities
+    from ditto_spark.operators.scoring import score_pairs_native
+
+    ser = _er_serialize(spark, sf_dir).select(
+        "doc_id", F.col("serialized").alias("text"))
+    pairs = sorted_neighborhood(ser, F.lower(F.col("text")), window=2)
+    scored = score_pairs_native(pairs, 0.5)
+    return assign_entities(ser.select("doc_id"), scored)
+
+
 def _er_threshold_verified(spark, sf_dir):
     """M4 + the reference's sanity re-predict (matcher.py:229-251): the
     sweep's winning threshold, cross-checked against the decision path;
@@ -787,6 +805,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "er_dk_general": _er_dk_general,
         "er_summarize_ref": _er_summarize_ref,
         "er_pipeline_sql": _er_pipeline_sql,
+        "er_pipeline_entities": _er_pipeline_entities,
         "er_threshold_verified": _er_threshold_verified,
         "dedup_ngram_jaccard_capped": _dedup_ngram_jaccard_capped,
         "er_model_scores": _er_model_scores,
@@ -1477,6 +1496,7 @@ def oracle_sql() -> dict[str, str]:
         "er_dk_general": _dk_general_oracle_sql(),
         "er_summarize_ref": _summarize_ref_oracle_sql(),
         "er_pipeline_sql": _pipeline_sql_oracle_sql(),
+        "er_pipeline_entities": _pipeline_entities_oracle_sql(),
         "er_threshold_verified": _threshold_verified_oracle_sql(),
         "dedup_ngram_jaccard_capped": _ngram_capped_oracle_sql(),
     }
@@ -1571,9 +1591,11 @@ def _vt_sql(col: str) -> str:
     )
 
 
-def _pipeline_sql_oracle_sql() -> str:
-    return f"""
-        WITH ser AS (SELECT doc_id, {_SER_SQL} AS text FROM documents),
+def _pipeline_decision_ctes() -> str:
+    """Shared CTE chain: serialize -> SN window-2 pairing -> value-token
+    surrogate scoring probability (p1c). Used by the pair-decision and
+    the entity-closure oracles."""
+    return f"""ser AS (SELECT doc_id, {_SER_SQL} AS text FROM documents),
         ranked AS (
           SELECT doc_id, text,
                  ROW_NUMBER() OVER (ORDER BY lower(text), doc_id) AS rn
@@ -1604,11 +1626,41 @@ def _pipeline_sql_oracle_sql() -> str:
                         + (CAST(LEAST(na, nb) AS DOUBLE) / GREATEST(na, nb))
                         - 8.0)))
                  END AS p
-          FROM sc)
+          FROM sc)"""
+
+
+def _pipeline_sql_oracle_sql() -> str:
+    return f"""
+        WITH {_pipeline_decision_ctes()}
         SELECT left_id, right_id,
                CASE WHEN p > 0.5 THEN 1 ELSE 0 END AS match,
                round(p, 6) AS p1r
         FROM p1c
+    """
+
+
+def _pipeline_entities_oracle_sql() -> str:
+    """Entity closure over the decision chain: undirected reachability
+    via a recursive CTE, component label = min reachable id (the same
+    min-label contract as clustering.connected_components)."""
+    return f"""
+        WITH RECURSIVE {_pipeline_decision_ctes()},
+        dec AS MATERIALIZED (SELECT left_id, right_id FROM p1c WHERE p > 0.5),
+        -- MATERIALIZED: without it DuckDB re-inlines the whole decision
+        -- chain into every recursion step of reach (measured: hang)
+        bidir AS MATERIALIZED (
+          SELECT left_id AS a, right_id AS b FROM dec
+          UNION
+          SELECT right_id, left_id FROM dec),
+        reach(a, b) AS (
+          SELECT a, b FROM bidir
+          UNION
+          SELECT r.a, e.b FROM reach r JOIN bidir e ON r.b = e.a),
+        comp AS (
+          SELECT a AS doc_id, LEAST(MIN(b), a) AS entity_id
+          FROM reach GROUP BY a)
+        SELECT d.doc_id, COALESCE(c.entity_id, d.doc_id) AS entity_id
+        FROM documents d LEFT JOIN comp c ON c.doc_id = d.doc_id
     """
 
 

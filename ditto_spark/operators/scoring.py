@@ -334,10 +334,34 @@ class TorchDittoBackend:
 # the scoring operator
 # ---------------------------------------------------------------------------
 
+# process-level backend cache: python workers are reused across tasks
+# (spark.python.worker.reuse default true), so constructing the backend
+# per task stream pays model build/load once per TASK — with 2x-slots
+# partitioning that is ~2 builds per core per job. Cache by the factory's
+# fingerprint (or the callable itself) so each worker builds each model
+# exactly once for its lifetime — the Spark analog of the reference's
+# process-global model (matcher.py:257-264 lazy global).
+_BACKEND_CACHE: dict = {}
+
+
+def _worker_backend(backend_factory):
+    key = getattr(backend_factory, "fingerprint", None) or backend_factory
+    try:
+        return _BACKEND_CACHE[key]
+    except (KeyError, TypeError):  # TypeError: unhashable factory
+        backend = backend_factory() if callable(backend_factory) \
+            else backend_factory
+        try:
+            _BACKEND_CACHE[key] = backend
+        except TypeError:
+            pass
+        return backend
+
 def score_pairs(
     candidates: DataFrame,
     threshold: float = 0.5,
     backend_factory=SurrogateBackend,
+    num_partitions: int | None = None,
 ) -> DataFrame:
     """candidates(left_id, right_id, left_text, right_text, ...) ->
     + (p1, match, match_confidence).
@@ -346,6 +370,16 @@ def score_pairs(
     python worker (module-level singleton) so model load cost is paid
     once per executor, not per batch — the Spark version of the
     reference's process-global model (matcher.py:257-294).
+
+    Parallelism is pinned explicitly (``num_partitions``, default
+    2x ``defaultParallelism``): the candidate table is tiny in BYTES
+    (ids + short texts), so AQE's byte-based coalescing collapses it to
+    1-2 partitions — and then the model stage, whose cost is per-row
+    CPU that byte heuristics cannot see, runs near-serial no matter how
+    many cores the cluster has (measured: 139k pairs scored on 2 tasks
+    at local[8]). An explicit numbered repartition opts out of AQE
+    coalescing; its shuffle moves only the narrow pair rows and is noise
+    next to model inference. 2x slots absorbs pair-length skew.
     """
     out_schema = (
         "left_id string, right_id string, left_text string, "
@@ -363,10 +397,16 @@ def score_pairs(
         (F.col("block_key").cast("string") if has_bk
          else F.lit(None).cast("string")).alias("block_key"),
     )
+    if num_partitions is None:
+        # 4x slots: model tasks are CPU-long, so finer tasks cut the
+        # straggler tail (last task running alone on one core); the
+        # extra shuffle granularity on narrow pair rows is free
+        num_partitions = 4 * candidates.sparkSession.sparkContext.defaultParallelism
+    proj = proj.repartition(num_partitions)
     th = float(threshold)
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        backend = backend_factory()  # once per worker/task stream
+        backend = _worker_backend(backend_factory)
         for pdf in batches:
             p1 = backend.score_batch(pdf["left_text"], pdf["right_text"])
             match = (p1 > th).astype("int32")

@@ -25,6 +25,18 @@ def get_spark(
         env = os.environ.get("SPARK_GRAFT_CPUS")
         cores = int(env) if env else 0
     master = f"local[{cores}]" if cores else "local[*]"
+
+    # Pin BLAS to one thread per python worker. numpy's OpenBLAS spawns
+    # its own threads inside every pandas-UDF worker, so a local[N] run
+    # silently uses more than N cores — which both oversubscribes high-N
+    # runs and (worse) INFLATES low-N legs of the scaling bench: at
+    # local[2] two workers x 2 BLAS threads is a hidden 2x, corrupting
+    # the N-vs-4N efficiency ratio. On a real cluster the same pinning
+    # keeps spark.task.cpus=1 accounting honest. Set in os.environ too:
+    # local-mode python workers inherit the driver JVM's environment.
+    for var in ("OPENBLAS_NUM_THREADS", "OMP_NUM_THREADS",
+                "MKL_NUM_THREADS", "NUMEXPR_NUM_THREADS"):
+        os.environ.setdefault(var, "1")
     if shuffle_partitions is None:
         shuffle_partitions = cores if cores else (os.cpu_count() or 8)
 
@@ -60,6 +72,11 @@ def get_spark(
                                "-XX:+UseParallelGC -XX:NewRatio=1"))
         .config("spark.ui.enabled", "false")
         .config("spark.sql.files.maxPartitionBytes", str(128 * 1024 * 1024))
+        # cluster-mode equivalent of the BLAS pinning above (local mode
+        # inherits os.environ; real executors need executorEnv)
+        .config("spark.executorEnv.OPENBLAS_NUM_THREADS", "1")
+        .config("spark.executorEnv.OMP_NUM_THREADS", "1")
+        .config("spark.executorEnv.MKL_NUM_THREADS", "1")
     )
     # shuffle/spill scratch: this sandbox's disk is shared-host and
     # becomes the bottleneck under high task concurrency (32 threads

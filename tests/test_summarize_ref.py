@@ -107,3 +107,73 @@ def test_oov_tokens_score_zero():
     assert sb == "COL k VAL aa"
     sc, _ = summarize_pair_py("COL k VAL zz aa", "", {}, max_len=8)
     assert sc == "COL k VAL zz aa"
+
+
+# --- wordpiece-style len_fn fixture (VERDICT r2 #8) ---------------------
+# A tiny greedy longest-match-first wordpiece vocab, checked in as code
+# (no downloads): proves the budget arithmetic holds for a len_fn whose
+# piece counts differ materially from the ceil(len/4) surrogate.
+_WP_VOCAB = {
+    # whole words
+    "col", "val", "name", "the", "and", "of", "inc", "corp", "llc",
+    # common prefixes
+    "un", "re", "pre", "inter", "over", "micro", "data", "tech",
+    # suffix pieces (wordpiece '##' continuation)
+    "##s", "##ed", "##ing", "##er", "##tion", "##al", "##ic", "##co",
+    "##a", "##b", "##c", "##d", "##e", "##f", "##g", "##h", "##i",
+    "##j", "##k", "##l", "##m", "##n", "##o", "##p", "##q", "##r",
+    "##t", "##u", "##v", "##w", "##x", "##y", "##z", "##0", "##1",
+    "##2", "##3", "##4", "##5", "##6", "##7", "##8", "##9", "##_",
+    "##.", "##-",
+} | {chr(c) for c in range(ord("a"), ord("z") + 1)} \
+  | {str(d) for d in range(10)} | {"_", ".", "-"}
+
+
+def wordpiece_len(word: str) -> int:
+    """Greedy longest-match-first wordpiece piece count over _WP_VOCAB
+    (the BertTokenizer algorithm); unknown characters -> [UNK] (1)."""
+    w = word.lower()
+    if not w:
+        return 0
+    pieces = 0
+    start = 0
+    while start < len(w):
+        end = len(w)
+        found = None
+        while start < end:
+            sub = w[start:end]
+            if start > 0:
+                sub = "##" + sub
+            if sub in _WP_VOCAB:
+                found = end
+                break
+            end -= 1
+        if found is None:
+            return pieces + 1  # [UNK] swallows the rest of the word
+        pieces += 1
+        start = found
+    return pieces
+
+
+def test_summarizer_budget_with_wordpiece_len_fn(spark):
+    """Differential: Spark summarizer == transcribed oracle when BOTH run
+    the wordpiece len_fn — i.e. the budget arithmetic is len_fn-agnostic,
+    not accidentally tuned to ceil(len/4)."""
+    pairs, entries = _fixture_pairs(spark, 120)
+    idf = fit_tfidf(entries)
+
+    # sanity: the two len_fns genuinely disagree on fixture tokens
+    toks = {t for _, a, b in pairs for t in (a + " " + b).split()}
+    diff = [t for t in toks if wordpiece_len(t) != default_len_fn(t)]
+    assert len(diff) > 10, "fixture too easy — len_fns agree everywhere"
+
+    pdf = spark.createDataFrame(
+        pairs, "pair_id string, left_text string, right_text string")
+    for max_len in (16, 64):
+        out = summarize_pairs_ref(pdf, idf, max_len=max_len,
+                                  len_fn=wordpiece_len)
+        got = {r["pair_id"]: (r["left_text"], r["right_text"])
+               for r in out.collect()}
+        for pid, a, b in pairs:
+            wa, wb = transform(a, b, idf, max_len, wordpiece_len)
+            assert got[pid] == (wa, wb), (max_len, pid)

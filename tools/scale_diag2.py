@@ -32,6 +32,12 @@ def main() -> None:
         cfg = PipelineConfig(sn_window=2,
                              backend_factory=default_numpy_backend,
                              native_scorer=False, threshold=0.1)
+    elif scorer == "prod":
+        from ditto_spark.operators.npmodel import prod_profile_backend
+
+        cfg = PipelineConfig(sn_window=2,
+                             backend_factory=prod_profile_backend,
+                             native_scorer=False, threshold=0.1)
     else:
         cfg = PipelineConfig(sn_window=2)
 
@@ -61,7 +67,7 @@ def main() -> None:
     stages["block"] = round(time.monotonic() - t0, 2)
 
     t0 = time.monotonic()
-    if scorer == "model":
+    if scorer in ("model", "prod"):
         from ditto_spark.operators.scoring import score_pairs
 
         cands = B.attach_texts(candidates, serialized)
