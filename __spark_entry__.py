@@ -365,7 +365,11 @@ def _cluster_cc(spark, sf_dir):
 
 def _er_pipeline_matches(spark, sf_dir):
     """Full ER pipeline matches (blocking union + iterator-UDF scoring).
-    Not SQL-expressible as one query -> rows-only check."""
+    Rows-only here (the default xxhash64 MinHash hash has no DuckDB
+    equivalent), but the SAME multi-pass DAG is hash-exact in
+    er_pipeline_full (portable md5 hash family) and its clustering tail
+    in er_pipeline_entities — together the flagship's content is fully
+    oracle-checked."""
     from ditto_spark.plans.pipeline import PipelineConfig, run_pipeline
 
     docs = _spans_docs(spark, sf_dir).select(
@@ -714,6 +718,31 @@ def _er_pipeline_entities(spark, sf_dir):
     return assign_entities(ser.select("doc_id"), scored)
 
 
+def _er_pipeline_full(spark, sf_dir):
+    """The COMPLETE multi-pass flagship with a content oracle: MinHash-
+    LSH (portable md5 hash family) UNION sorted-neighborhood -> native
+    scoring -> decisions, hash-exact vs one DuckDB query that recomputes
+    the shingle/signature/band pipeline. Closes the er_pipeline_matches
+    rows-only gap: same operators, engine-portable token hash
+    (blocking.minhash_band_buckets token_hash='portable')."""
+    from ditto_spark.operators.blocking import (attach_texts,
+                                                minhash_lsh_blocking,
+                                                union_candidates)
+    from ditto_spark.operators.scoring import score_pairs_native
+
+    ser = _er_serialize(spark, sf_dir).select(
+        "doc_id", F.col("serialized").alias("text"))
+    mh = minhash_lsh_blocking(ser, n_hashes=24, bands=6, shingle_n=3,
+                              max_bucket_rows=200, with_texts=False,
+                              token_hash="portable")
+    sn = sorted_neighborhood(ser, F.lower(F.col("text")), window=2,
+                             with_texts=False)
+    cand = union_candidates(mh, sn)
+    scored = score_pairs_native(attach_texts(cand, ser), 0.5)
+    return scored.select("left_id", "right_id", "match",
+                         F.round("p1", 6).alias("p1r"))
+
+
 def _er_threshold_verified(spark, sf_dir):
     """M4 + the reference's sanity re-predict (matcher.py:229-251): the
     sweep's winning threshold, cross-checked against the decision path;
@@ -806,6 +835,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "er_summarize_ref": _er_summarize_ref,
         "er_pipeline_sql": _er_pipeline_sql,
         "er_pipeline_entities": _er_pipeline_entities,
+        "er_pipeline_full": _er_pipeline_full,
         "er_threshold_verified": _er_threshold_verified,
         "dedup_ngram_jaccard_capped": _dedup_ngram_jaccard_capped,
         "er_model_scores": _er_model_scores,
@@ -1497,6 +1527,7 @@ def oracle_sql() -> dict[str, str]:
         "er_summarize_ref": _summarize_ref_oracle_sql(),
         "er_pipeline_sql": _pipeline_sql_oracle_sql(),
         "er_pipeline_entities": _pipeline_entities_oracle_sql(),
+        "er_pipeline_full": _pipeline_full_oracle_sql(),
         "er_threshold_verified": _threshold_verified_oracle_sql(),
         "dedup_ngram_jaccard_capped": _ngram_capped_oracle_sql(),
     }
@@ -1591,10 +1622,8 @@ def _vt_sql(col: str) -> str:
     )
 
 
-def _pipeline_decision_ctes() -> str:
-    """Shared CTE chain: serialize -> SN window-2 pairing -> value-token
-    surrogate scoring probability (p1c). Used by the pair-decision and
-    the entity-closure oracles."""
+def _sn_pair_ctes() -> str:
+    """ser (serialize) + ranked + p0 (SN window-2 pairs)."""
     return f"""ser AS (SELECT doc_id, {_SER_SQL} AS text FROM documents),
         ranked AS (
           SELECT doc_id, text,
@@ -1603,11 +1632,17 @@ def _pipeline_decision_ctes() -> str:
         p0 AS (
           SELECT LEAST(a.doc_id, b.doc_id) AS left_id,
                  GREATEST(a.doc_id, b.doc_id) AS right_id
-          FROM ranked a JOIN ranked b ON b.rn - a.rn BETWEEN 1 AND 2),
-        pairs AS (
-          SELECT p0.left_id, p0.right_id, sa.text AS lt, sb.text AS rt
-          FROM p0 JOIN ser sa ON sa.doc_id = p0.left_id
-                  JOIN ser sb ON sb.doc_id = p0.right_id),
+          FROM ranked a JOIN ranked b ON b.rn - a.rn BETWEEN 1 AND 2)"""
+
+
+def _score_ctes(pair_source: str = "p0") -> str:
+    """pairs (text attach) -> vt -> sc -> p1c (surrogate probability),
+    reading candidate pairs from ``pair_source``."""
+    return f"""pairs AS (
+          SELECT p.left_id, p.right_id, sa.text AS lt, sb.text AS rt
+          FROM {pair_source} p
+               JOIN ser sa ON sa.doc_id = p.left_id
+               JOIN ser sb ON sb.doc_id = p.right_id),
         vt AS (
           SELECT left_id, right_id,
                  {_vt_sql('lt')} AS a, {_vt_sql('rt')} AS b
@@ -1629,9 +1664,98 @@ def _pipeline_decision_ctes() -> str:
           FROM sc)"""
 
 
+def _pipeline_decision_ctes(pair_source: str = "p0") -> str:
+    """SN chain + scoring chain in CTE-dependency order."""
+    return f"{_sn_pair_ctes()},\n        {_score_ctes(pair_source)}"
+
+
 def _pipeline_sql_oracle_sql() -> str:
     return f"""
         WITH {_pipeline_decision_ctes()}
+        SELECT left_id, right_id,
+               CASE WHEN p > 0.5 THEN 1 ELSE 0 END AS match,
+               round(p, 6) AS p1r
+        FROM p1c
+    """
+
+
+def _minhash_portable_ctes() -> str:
+    """DuckDB recomputation of blocking.minhash_band_buckets with
+    token_hash='portable' (24 hashes x 6 bands x 4 rows, shingle_n=3,
+    max_bucket_rows=200, marker tokens dropped): token porthash mod p ->
+    polynomial 3-shingles (short docs keep their pos-0 partial shingle,
+    blocking.py complete-shingle filter) -> per-permutation min ->
+    raw-signature band keys -> capped buckets -> i<j pair join."""
+    from ditto_spark.operators.blocking import MERSENNE31, _mh_params
+
+    p = MERSENNE31
+    a_c, b_c = _mh_params(24)
+    ph = porthash_sql("x")
+    sigs = ",\n                 ".join(
+        f"list_min(list_transform(sh, s -> ({a_c[k]} * s + {b_c[k]}) "
+        f"% {p})) AS s{k}"
+        for k in range(24))
+    bandkeys = ",\n            ".join(
+        "'" + str(b) + "_' || " + " || ',' || ".join(
+            f"CAST(s{b * 4 + r} AS VARCHAR)" for r in range(4))
+        for b in range(6))
+    M = 1_000_003
+    return f"""mtoks AS (
+          SELECT doc_id,
+                 list_filter(string_split_regex(lower(trim(text)),
+                                                '\\s+'),
+                             x -> x != '' AND x != 'col' AND x != 'val')
+                   AS t
+          FROM ser),
+        mh AS (
+          SELECT doc_id,
+                 list_transform(t, x -> {ph} % {p}) AS h,
+                 len(t) AS n
+          FROM mtoks),
+        msh AS (
+          SELECT doc_id,
+                 CASE
+                   WHEN n >= 3 THEN list_transform(range(1, n - 1),
+                     i -> (((h[i] * {M} + h[i + 1]) % {p}) * {M}
+                           + h[i + 2]) % {p})
+                   WHEN n = 2 THEN
+                     [((((h[1] * {M} + h[2]) % {p}) * {M}) % {p})]
+                   WHEN n = 1 THEN
+                     [((((h[1] * {M}) % {p}) * {M}) % {p})]
+                   ELSE []
+                 END AS sh
+          FROM mh),
+        msig AS (
+          SELECT doc_id,
+                 {sigs}
+          FROM msh WHERE len(sh) > 0),
+        mbands AS (
+          SELECT doc_id, unnest([
+            {bandkeys}
+          ]) AS block_key
+          FROM msig),
+        mcap AS (
+          SELECT doc_id, block_key FROM (
+            SELECT doc_id, block_key,
+                   row_number() OVER (PARTITION BY block_key
+                                      ORDER BY doc_id) AS rk
+            FROM mbands)
+          WHERE rk <= 200),
+        mhp AS MATERIALIZED (
+          SELECT DISTINCT a.doc_id AS left_id, b.doc_id AS right_id
+          FROM mcap a JOIN mcap b
+            ON a.block_key = b.block_key AND a.doc_id < b.doc_id)"""
+
+
+def _pipeline_full_oracle_sql() -> str:
+    return f"""
+        WITH {_sn_pair_ctes()},
+        {_minhash_portable_ctes()},
+        allp AS (
+          SELECT left_id, right_id FROM p0
+          UNION
+          SELECT left_id, right_id FROM mhp),
+        {_score_ctes(pair_source="allp")}
         SELECT left_id, right_id,
                CASE WHEN p > 0.5 THEN 1 ELSE 0 END AS match,
                round(p, 6) AS p1r

@@ -52,6 +52,20 @@ def build_parser() -> argparse.ArgumentParser:
                         "executors via --files or shared storage")
     p.add_argument("--lm", default="roberta-base",
                    help="HF language model name for --backend torch")
+    p.add_argument("--task",
+                   help="task name resolved through --configs (the "
+                        "reference's configs.json registry, "
+                        "matcher.py:276-278)")
+    p.add_argument("--configs", default="configs.json",
+                   help="path to the task registry JSON (list of "
+                        "{name, task_type, ...} entries)")
+    p.add_argument("--summarize", action="store_true",
+                   help="TF-IDF summarization preprocessing "
+                        "(matcher.py --summarize)")
+    p.add_argument("--dk", action="store_true",
+                   help="domain-knowledge injection (matcher.py --dk)")
+    p.add_argument("--max-len", type=int, default=64,
+                   help="summarizer token budget (matcher.py --max_len)")
     return p
 
 
@@ -94,14 +108,31 @@ def main(argv: list[str] | None = None) -> int:
 
         backend_factory = SurrogateBackend
 
-    cfg = PipelineConfig(
-        threshold=args.threshold,
+    shared = dict(
         minhash_hashes=args.minhash_hashes,
         minhash_bands=args.minhash_bands,
         sn_window=args.sn_window,
         max_bucket_rows=args.max_bucket_rows,
         backend_factory=backend_factory,
     )
+    if args.task:
+        # resolve through the registry (validates the task exists and is
+        # a classification entry) and apply the reference's run flags
+        from ditto_spark.configs import (get_task, load_task_configs,
+                                         task_pipeline_config)
+
+        conf = get_task(load_task_configs(args.configs), args.task)
+        cfg = task_pipeline_config(
+            conf, summarize=args.summarize, dk=args.dk,
+            max_len=args.max_len, threshold=args.threshold, **shared)
+    else:
+        cfg = PipelineConfig(
+            threshold=args.threshold,
+            use_summarizer=args.summarize,
+            summarizer_max_len=args.max_len,
+            use_dk=args.dk or PipelineConfig().use_dk,
+            **shared,
+        )
     store = (CheckpointStore(spark, args.checkpoint)
              if args.checkpoint else None)
     input_id = args.input or f"synthetic:{args.synthetic}"

@@ -327,18 +327,26 @@ def minhash_band_buckets(
     bands: int = 4,
     shingle_n: int = 3,
     drop_marker_tokens: bool = True,
+    token_hash: str = "xxhash64",
 ) -> DataFrame:
     """(id, band_key) — one row per LSH band per doc, computed entirely
     inside whole-stage codegen (no interpreted higher-order lambdas,
     which cost ~10-100x on this hot path):
 
-      posexplode tokens -> xxhash64 -> window lead() to combine each
+      posexplode tokens -> hash -> window lead() to combine each
       shingle's token hashes polynomially -> one groupBy(id) with
       n_hashes min() aggregates (the MinHash signature) -> band keys.
 
     The window and the aggregate share hashpartitioning(id): ONE shuffle
     of (id, pos, hash) longs for the whole signature computation.
     Duplicate shingles need no dedupe — they cannot change a min.
+
+    token_hash: 'xxhash64' (default, fastest — one JVM hash) or
+    'portable' (md5-derived porthash, reproducible by an external SQL
+    engine; band keys are then the raw signature concat, not an xxhash
+    compaction). Use 'portable' when blocking output must be verified
+    against a DuckDB oracle; the candidate SETS differ between the two
+    hashes, the statistics do not.
     """
     a_c, b_c = _mh_params(n_hashes)
     rows = n_hashes // bands
@@ -347,7 +355,15 @@ def minhash_band_buckets(
         F.posexplode(tokenize(F.col(text_col),
                               drop_markers=drop_marker_tokens)
                      ).alias("pos", "tok"),
-    ).withColumn("h", F.pmod(F.xxhash64("tok"), F.lit(MERSENNE31)))
+    )
+    if token_hash == "portable":
+        from ditto_spark.operators.hashing import porthash
+
+        toks = toks.withColumn("h", porthash(F.col("tok"))
+                               % F.lit(MERSENNE31))
+    else:
+        toks = toks.withColumn("h", F.pmod(F.xxhash64("tok"),
+                                           F.lit(MERSENNE31)))
     w = Window.partitionBy("id").orderBy("pos")
     shingled = toks
     for j in range(1, shingle_n):
@@ -369,14 +385,26 @@ def minhash_band_buckets(
         for i in range(n_hashes)
     ]
     sig = shingled.groupBy("id").agg(*aggs)
-    bkeys = F.array(*[
-        F.concat_ws(
-            "_", F.lit(str(b)),
-            F.xxhash64(F.concat_ws(
-                ",", *[F.col(f"_h{b * rows + r}") for r in range(rows)])),
-        )
-        for b in range(bands)
-    ])
+    if token_hash == "portable":
+        # raw signature string as the band key — longer than the xxhash
+        # compaction but engine-portable
+        bkeys = F.array(*[
+            F.concat_ws(
+                "_", F.lit(str(b)),
+                F.concat_ws(
+                    ",", *[F.col(f"_h{b * rows + r}") for r in range(rows)]),
+            )
+            for b in range(bands)
+        ])
+    else:
+        bkeys = F.array(*[
+            F.concat_ws(
+                "_", F.lit(str(b)),
+                F.xxhash64(F.concat_ws(
+                    ",", *[F.col(f"_h{b * rows + r}") for r in range(rows)])),
+            )
+            for b in range(bands)
+        ])
     return sig.select("id", F.explode(bkeys).alias("block_key"))
 
 
@@ -390,6 +418,7 @@ def minhash_lsh_blocking(
     max_bucket_rows: int | None = 200,
     drop_marker_tokens: bool = True,
     with_texts: bool = True,
+    token_hash: str = "xxhash64",
 ) -> DataFrame:
     """Candidate pairs whose MinHash signatures collide in >=1 band.
 
@@ -404,7 +433,7 @@ def minhash_lsh_blocking(
     corpora where 'col'/'val' are legitimate content words.
     """
     keys = minhash_band_buckets(df, id_col, text_col, n_hashes, bands,
-                                shingle_n, drop_marker_tokens)
+                                shingle_n, drop_marker_tokens, token_hash)
     if max_bucket_rows is not None:
         w = Window.partitionBy("block_key").orderBy("id")
         keys = (keys.withColumn("_rk", F.row_number().over(w))

@@ -155,3 +155,54 @@ def test_general_dk_whole_float(spark):
     assert " 5 " in f" {out} " or out.startswith("price 5 ")
     assert "5.25" in out and "5.00" not in out
     assert "ID 1234567x9" in out
+
+
+def test_task_config_registry(tmp_path):
+    """configs.json contract (matcher.py:276-278): list -> name-keyed
+    dict, last duplicate wins, flags map onto PipelineConfig."""
+    import json
+
+    from ditto_spark.configs import (dataset_paths, get_task,
+                                     load_task_configs,
+                                     task_pipeline_config)
+
+    p = tmp_path / "configs.json"
+    p.write_text(json.dumps([
+        {"name": "Structured/Beer", "task_type": "classification",
+         "vocab": ["0", "1"], "trainset": "data/beer/train.txt",
+         "validset": "data/beer/valid.txt", "testset": "data/beer/test.txt"},
+        {"name": "dup", "task_type": "classification", "marker": 1},
+        {"name": "dup", "task_type": "classification", "marker": 2},
+    ]))
+    cfgs = load_task_configs(str(p))
+    assert cfgs["dup"]["marker"] == 2  # last wins, dict-comp semantics
+    conf = get_task(cfgs, "Structured/Beer")
+    pc = task_pipeline_config(conf, summarize=True, dk=True, max_len=32)
+    assert pc.use_summarizer and pc.use_dk
+    assert pc.summarizer_max_len == 32
+    paths = dataset_paths(conf, "/base")
+    assert paths["trainset"] == "/base/data/beer/train.txt"
+    try:
+        get_task(cfgs, "nope")
+        raise AssertionError("expected KeyError")
+    except KeyError:
+        pass
+
+
+def test_minhash_portable_mode(spark):
+    """token_hash='portable' must find the same planted near-dups the
+    default hash family does (statistics match; sets may differ)."""
+    from ditto_spark.operators.blocking import minhash_lsh_blocking
+
+    rows = []
+    for i in range(40):
+        base = f"alpha beta gamma delta epsilon zeta{i} eta theta iota"
+        rows.append((2 * i, base))
+        rows.append((2 * i + 1, base + " kappa"))  # planted near-dup
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = minhash_lsh_blocking(df, n_hashes=24, bands=6, shingle_n=3,
+                               with_texts=False, token_hash="portable",
+                               drop_marker_tokens=False)
+    pairs = {(r["left_id"], r["right_id"]) for r in got.collect()}
+    planted = {(2 * i, 2 * i + 1) for i in range(40)}
+    assert len(planted & pairs) >= 30  # high-jaccard dups must collide
