@@ -127,9 +127,15 @@ def _leg(cores: int, n_docs: int, scorer: str = "native") -> float:
     if scorer == "model":
         from ditto_spark.operators.npmodel import default_numpy_backend
 
+        # threshold at the frozen-weight model's ~90th score
+        # percentile: random weights emit p1~0.5-0.9 for everything, so
+        # a low threshold would mark ALL candidates as matches and feed
+        # clustering a pathological near-complete graph; production ER
+        # decisions are sparse (~10% of candidates), and the surrogate
+        # pipeline's edge density matches that
         cfg = PipelineConfig(sn_window=2,
                              backend_factory=default_numpy_backend,
-                             native_scorer=False, threshold=0.1)
+                             native_scorer=False, threshold=0.9)
     elif scorer == "prod":
         # production profile: inference-dominated, like the reference's
         # DistilBERT matcher at scale (npmodel.PROD_PROFILE_CONFIG)
@@ -137,7 +143,7 @@ def _leg(cores: int, n_docs: int, scorer: str = "native") -> float:
 
         cfg = PipelineConfig(sn_window=2,
                              backend_factory=prod_profile_backend,
-                             native_scorer=False, threshold=0.1)
+                             native_scorer=False, threshold=0.8)
     else:
         cfg = PipelineConfig(sn_window=2)
     path = f"{SCALE_DOCS_DIR}_{n_docs}"

@@ -342,6 +342,10 @@ class TorchDittoBackend:
 # exactly once for its lifetime — the Spark analog of the reference's
 # process-global model (matcher.py:257-264 lazy global).
 _BACKEND_CACHE: dict = {}
+_BACKEND_CACHE_MAX = 4  # a worker realistically scores with 1-2 models;
+# the bound matters because a fingerprint-less factory (e.g. a lambda
+# closure) deserializes to a NEW object per task — an unbounded cache
+# would then grow by one model per task for a long-lived worker
 
 
 def _worker_backend(backend_factory):
@@ -352,6 +356,8 @@ def _worker_backend(backend_factory):
         backend = backend_factory() if callable(backend_factory) \
             else backend_factory
         try:
+            while len(_BACKEND_CACHE) >= _BACKEND_CACHE_MAX:
+                _BACKEND_CACHE.pop(next(iter(_BACKEND_CACHE)))  # oldest
             _BACKEND_CACHE[key] = backend
         except TypeError:
             pass
