@@ -7,9 +7,11 @@ Env: SPARK_GRAFT_SF_DIR (default /root/testdata/sf0.1),
      SPARK_GRAFT_CPUS   (default 32).
 
   python bench.py            # headline queries at $SPARK_GRAFT_CPUS
-  python bench.py --scaling  # ER-pipeline throughput at 8 vs 32 cores
-                             # (the north_rule N-vs-4N evidence), appends
-                             # results to BENCH.md
+  python bench.py --scaling  # ER-pipeline throughput at 2 vs 8 cores
+                             # (the north_rule N-vs-4N evidence; see
+                             # BASELINE.md "Scaling gate"), appends
+                             # results to BENCH.md and exits non-zero
+                             # below the 0.8 efficiency target
 """
 
 from __future__ import annotations
@@ -103,17 +105,57 @@ def _prepare_scale_docs(n_docs: int) -> str:
     return path
 
 
+def scorer_config(scorer: str):
+    """scorer name -> PipelineConfig for a scaling leg. Shared with
+    tools/scale_diag2.py so the per-stage diagnosis always measures the
+    same pipeline as the gate."""
+    from ditto_spark.plans.pipeline import PipelineConfig
+
+    if scorer == "model":
+        from ditto_spark.operators.npmodel import default_numpy_backend
+
+        # threshold at the frozen-weight model's ~90th score
+        # percentile: random weights emit p1~0.5-0.9 for everything, so
+        # a low threshold would mark ALL candidates as matches and feed
+        # clustering a pathological near-complete graph; production ER
+        # decisions are sparse (~10% of candidates), and the surrogate
+        # pipeline's edge density matches that
+        return PipelineConfig(sn_window=2,
+                              backend_factory=default_numpy_backend,
+                              native_scorer=False, threshold=0.9)
+    if scorer == "prod":
+        # production profile: inference-dominated, like the reference's
+        # DistilBERT matcher at scale (npmodel.PROD_PROFILE_CONFIG)
+        from ditto_spark.operators.npmodel import prod_profile_backend
+
+        return PipelineConfig(sn_window=2,
+                              backend_factory=prod_profile_backend,
+                              native_scorer=False, threshold=0.8)
+    return PipelineConfig(sn_window=2)
+
+
 def _leg(cores: int, n_docs: int, scorer: str = "native") -> float:
     """One scaling leg, run INSIDE a fresh process: docs/sec of the full
     ER DAG reading the pre-materialized spans parquet.
 
     scorer='native': whole-stage-codegen surrogate scoring — the
-    shuffle/codegen-bound profile. scorer='model': the numpy transformer
-    cross-encoder through mapInPandas (the north_star's production
-    profile — batched model inference dominates and parallelizes across
-    python workers)."""
-    from ditto_spark.plans.pipeline import PipelineConfig, run_pipeline
+    shuffle/codegen-bound profile. scorer='model': the fixture-sized
+    numpy transformer cross-encoder through mapInPandas.
+    scorer='prod' (the scaling-gate default): the prod-profile
+    cross-encoder (d=64 x 4 layers) — batched model inference dominates
+    and parallelizes across python workers, the north_star's production
+    profile."""
+    from ditto_spark.plans.pipeline import run_pipeline
     from ditto_spark.session import clear_operator_caches, get_spark
+
+    # FORCE the BLAS pin for measurement legs (session.get_spark only
+    # setdefaults, respecting a user's explicit env — but a shell with
+    # e.g. OPENBLAS_NUM_THREADS=8 exported would re-inflate the
+    # low-core leg with hidden BLAS parallelism, the exact corruption
+    # root-caused in round 3): a leg subprocess owns its env.
+    for var in ("OPENBLAS_NUM_THREADS", "OMP_NUM_THREADS",
+                "MKL_NUM_THREADS", "NUMEXPR_NUM_THREADS"):
+        os.environ[var] = "1"
 
     # shuffle_partitions = cores: windows pin their required hash
     # distribution, AQE cannot coalesce it, and over-partitioning
@@ -124,28 +166,7 @@ def _leg(cores: int, n_docs: int, scorer: str = "native") -> float:
     # warm JVM codegen with a tiny pipeline so the timed section measures
     # throughput, not session spin-up — at cluster scale those costs
     # amortize over hours, not one job
-    if scorer == "model":
-        from ditto_spark.operators.npmodel import default_numpy_backend
-
-        # threshold at the frozen-weight model's ~90th score
-        # percentile: random weights emit p1~0.5-0.9 for everything, so
-        # a low threshold would mark ALL candidates as matches and feed
-        # clustering a pathological near-complete graph; production ER
-        # decisions are sparse (~10% of candidates), and the surrogate
-        # pipeline's edge density matches that
-        cfg = PipelineConfig(sn_window=2,
-                             backend_factory=default_numpy_backend,
-                             native_scorer=False, threshold=0.9)
-    elif scorer == "prod":
-        # production profile: inference-dominated, like the reference's
-        # DistilBERT matcher at scale (npmodel.PROD_PROFILE_CONFIG)
-        from ditto_spark.operators.npmodel import prod_profile_backend
-
-        cfg = PipelineConfig(sn_window=2,
-                             backend_factory=prod_profile_backend,
-                             native_scorer=False, threshold=0.8)
-    else:
-        cfg = PipelineConfig(sn_window=2)
+    cfg = scorer_config(scorer)
     path = f"{SCALE_DOCS_DIR}_{n_docs}"
     docs = spark.read.parquet(path)
     warm = docs.limit(500).localCheckpoint()
@@ -189,8 +210,9 @@ def _pipeline_throughput(cores: int, n_docs: int,
 
 
 def run_scaling(n_docs: int = 100000) -> dict:
-    """North-rule N-vs-4N evidence, measured at TWO core pairs on the
-    same input:
+    """North-rule N-vs-4N evidence. Default = the single 2->8 gate pair
+    (BASELINE.md "Scaling gate"); set SPARK_GRAFT_SCALE_PAIRS=2:8,8:32
+    to also report the informational upper pair. Why these pairs:
 
       * 2 -> 8 cores: the faithful single-box proxy for cluster scaling.
         A real 4N-executor cluster multiplies memory bandwidth with the

@@ -62,8 +62,11 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--summarize", action="store_true",
                    help="TF-IDF summarization preprocessing "
                         "(matcher.py --summarize)")
-    p.add_argument("--dk", action="store_true",
-                   help="domain-knowledge injection (matcher.py --dk)")
+    p.add_argument("--dk", action=argparse.BooleanOptionalAction,
+                   default=None,
+                   help="domain-knowledge injection (matcher.py --dk); "
+                        "--no-dk disables it; default = pipeline "
+                        "default (on), identical with or without --task")
     p.add_argument("--max-len", type=int, default=64,
                    help="summarizer token budget (matcher.py --max_len)")
     return p
@@ -115,6 +118,10 @@ def main(argv: list[str] | None = None) -> int:
         max_bucket_rows=args.max_bucket_rows,
         backend_factory=backend_factory,
     )
+    # one DK resolution for BOTH branches: tri-state --dk/--no-dk, the
+    # pipeline default when unspecified — adding --task must not change
+    # preprocessing (and with it fp_ser + match decisions) silently
+    use_dk = PipelineConfig().use_dk if args.dk is None else args.dk
     if args.task:
         # resolve through the registry (validates the task exists and is
         # a classification entry) and apply the reference's run flags
@@ -123,14 +130,14 @@ def main(argv: list[str] | None = None) -> int:
 
         conf = get_task(load_task_configs(args.configs), args.task)
         cfg = task_pipeline_config(
-            conf, summarize=args.summarize, dk=args.dk,
+            conf, summarize=args.summarize, dk=use_dk,
             max_len=args.max_len, threshold=args.threshold, **shared)
     else:
         cfg = PipelineConfig(
             threshold=args.threshold,
             use_summarizer=args.summarize,
             summarizer_max_len=args.max_len,
-            use_dk=args.dk or PipelineConfig().use_dk,
+            use_dk=use_dk,
             **shared,
         )
     store = (CheckpointStore(spark, args.checkpoint)

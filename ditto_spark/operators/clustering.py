@@ -82,9 +82,21 @@ def connected_components(
     store so recovery replays from the last round, not from raw edges."""
     from ditto_spark.operators.hashing import porthash
 
+    cleanup_dir = None
     if checkpoint_dir is not None:
-        sc = edges.sparkSession.sparkContext
-        sc.setCheckpointDir(checkpoint_dir)
+        import uuid
+
+        spark = edges.sparkSession
+        sc = spark.sparkContext
+        # scope this run's files under a unique subdir: up to max_iter
+        # rounds each write a full edge-set copy and Spark does not
+        # clean reliable checkpoints by default
+        # (spark.cleaner.referenceTracking.cleanCheckpoints=false) — at
+        # design scale that is a multi-TB leak; the subdir is deleted
+        # in the finally block once labels derive from the last round's
+        # materialized frame
+        cleanup_dir = f"{checkpoint_dir.rstrip('/')}/cc-{uuid.uuid4().hex}"
+        sc.setCheckpointDir(cleanup_dir)
 
         def _truncate(df: DataFrame) -> DataFrame:
             return df.checkpoint(eager=True)
@@ -126,10 +138,21 @@ def connected_components(
                           F.col("src").alias("entity_id")).union(
         comp.select(F.col("src").alias("doc_id"),
                     F.col("src").alias("entity_id")))
-    return (
+    labels = (
         members.groupBy("doc_id")
         .agg(F.min("entity_id").alias("entity_id"))
     )
+    if cleanup_dir is not None:
+        # materialize the O(nodes) label table, then delete this run's
+        # per-round edge copies (the caller should persist labels
+        # promptly — the iterations, not the epilogue, were the
+        # fault-exposed part the reliable mode protects)
+        labels = labels.localCheckpoint(eager=True)
+        jvm = sc._jvm
+        jsc = sc._jsc.hadoopConfiguration()
+        path = jvm.org.apache.hadoop.fs.Path(cleanup_dir)
+        path.getFileSystem(jsc).delete(path, True)
+    return labels
 
 
 def assign_entities(docs: DataFrame, matches: DataFrame,

@@ -249,14 +249,17 @@ class NumpyDittoBackend:
                  micro_batch: int = 64):
         self.model = NumpyCrossEncoder(weights or make_weights(seed))
         self.micro_batch = micro_batch
-        # content-derived fingerprint: distinguishes backends with
-        # different weights in the per-worker backend cache and in
-        # pipeline stage fingerprints (a shared class-level constant
-        # would alias two different models)
-        self.fingerprint = "numpy-cross-encoder-" + hashlib.md5(
-            self.model.w["_config"].tobytes()
-            + np.ascontiguousarray(self.model.w["fc.weight"]).tobytes()
-        ).hexdigest()[:12]
+        # content-derived fingerprint over EVERY weight array (sorted
+        # key order): distinguishes backends in the per-worker backend
+        # cache and in pipeline stage fingerprints. Hashing only the
+        # head would alias two checkpoints that share a frozen fc.* but
+        # differ in encoder weights — a reused worker would then score
+        # pipeline B's pairs with pipeline A's model.
+        h = hashlib.md5()
+        for k in sorted(self.model.w):
+            h.update(k.encode())
+            h.update(np.ascontiguousarray(self.model.w[k]).tobytes())
+        self.fingerprint = "numpy-cross-encoder-" + h.hexdigest()[:12]
 
     def score_batch(self, left: pd.Series, right: pd.Series) -> pd.Series:
         probs: list[float] = []

@@ -336,8 +336,8 @@ class TorchDittoBackend:
 
 # process-level backend cache: python workers are reused across tasks
 # (spark.python.worker.reuse default true), so constructing the backend
-# per task stream pays model build/load once per TASK — with 2x-slots
-# partitioning that is ~2 builds per core per job. Cache by the factory's
+# per task stream pays model build/load once per TASK — with 4x-slots
+# partitioning that is ~4 builds per core per job. Cache by the factory's
 # fingerprint (or the callable itself) so each worker builds each model
 # exactly once for its lifetime — the Spark analog of the reference's
 # process-global model (matcher.py:257-264 lazy global).
@@ -378,14 +378,15 @@ def score_pairs(
     reference's process-global model (matcher.py:257-294).
 
     Parallelism is pinned explicitly (``num_partitions``, default
-    2x ``defaultParallelism``): the candidate table is tiny in BYTES
+    4x ``defaultParallelism``): the candidate table is tiny in BYTES
     (ids + short texts), so AQE's byte-based coalescing collapses it to
     1-2 partitions — and then the model stage, whose cost is per-row
     CPU that byte heuristics cannot see, runs near-serial no matter how
     many cores the cluster has (measured: 139k pairs scored on 2 tasks
     at local[8]). An explicit numbered repartition opts out of AQE
     coalescing; its shuffle moves only the narrow pair rows and is noise
-    next to model inference. 2x slots absorbs pair-length skew.
+    next to model inference. 4x slots absorbs pair-length skew and cuts
+    the straggler tail of CPU-long model tasks.
     """
     out_schema = (
         "left_id string, right_id string, left_text string, "

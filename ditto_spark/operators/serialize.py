@@ -150,8 +150,11 @@ def serialize_flat(df: DataFrame, attr_cols: list[str],
 
 def split_production(df: DataFrame, id_col: str | None = None) -> DataFrame:
     """Pre-paired *_left/*_right table -> (left_id, right_id, left_text,
-    right_text) candidates (hive_ditto_standalone.py:117-164) without any
-    join — two projections over the same row."""
+    right_text) candidates (hive_ditto_standalone.py:117-164): two
+    projections over the same row, no pair-generation join. With
+    ``id_col=None`` the deterministic content-hash ids add one NARROW
+    aggregation over the hash column plus a broadcast anti-join; only
+    duplicate-content rows (rare) pass through a row_number window."""
     fields = sorted(
         {c[:-5] for c in df.columns if c.endswith("_left")}
         & {c[:-6] for c in df.columns if c.endswith("_right")}
@@ -196,17 +199,30 @@ def split_production(df: DataFrame, id_col: str | None = None) -> DataFrame:
 
         from ditto_spark.operators.hashing import porthash_seed
 
+        # Keep the hot path shuffle-free: a window over every row would
+        # shuffle the WIDE pair texts just to suffix the rare duplicate
+        # rows. Instead aggregate the NARROW hash column to find
+        # duplicated hashes (usually a tiny set -> broadcast), leave
+        # unique-content rows untouched (suffix '-1' in place), and run
+        # the row_number window only over the duplicate subset.
         content = F.concat_ws("\t", "left_text", "right_text")
         h = F.concat_ws(
             "", porthash_seed(content, 1).cast("string"),
             F.lit("x"), porthash_seed(content, 2).cast("string"))
-        out = out.withColumn("_h", h).withColumn(
-            "_rid",
-            F.concat_ws(
-                "-", F.col("_h"),
-                F.row_number().over(
-                    Window.partitionBy("_h").orderBy(F.lit(1))
-                ).cast("string")))
+        out = out.withColumn("_h", h)
+        dup_hashes = (out.groupBy("_h").count()
+                      .filter(F.col("count") > 1).select("_h"))
+        uniq = out.join(F.broadcast(dup_hashes), "_h", "left_anti") \
+            .withColumn("_rid", F.concat_ws("-", F.col("_h"), F.lit("1")))
+        dups = out.join(F.broadcast(dup_hashes), "_h", "left_semi") \
+            .withColumn(
+                "_rid",
+                F.concat_ws(
+                    "-", F.col("_h"),
+                    F.row_number().over(
+                        Window.partitionBy("_h").orderBy(F.lit(1))
+                    ).cast("string")))
+        out = uniq.unionByName(dups)
     return out.select(
         F.concat(F.lit("L"), F.col("_rid")).alias("left_id"),
         F.concat(F.lit("R"), F.col("_rid")).alias("right_id"),

@@ -127,10 +127,15 @@ def run_pipeline(
 
     # a factory can carry an explicit identity (e.g. torch checkpoint
     # path + lm) via a `fingerprint` attribute; __name__ alone cannot
-    # distinguish two closures over different model paths
-    backend_name = getattr(
-        cfg.backend_factory, "fingerprint", None
-    ) or getattr(cfg.backend_factory, "__name__", repr(cfg.backend_factory))
+    # distinguish two closures over different model paths. Instances
+    # without a fingerprint fall back to their CLASS qualname — never
+    # repr(), whose memory address changes per process and would make
+    # every checkpoint resume miss (recompute + rewrite on each run).
+    backend_name = (
+        getattr(cfg.backend_factory, "fingerprint", None)
+        or getattr(cfg.backend_factory, "__name__", None)
+        or type(cfg.backend_factory).__qualname__
+    )
 
     # 1. serialize (drop_empty per reference matcher.py:53-57)
     fp_ser = fingerprint_of("serialize", input_id, cfg.use_dk,

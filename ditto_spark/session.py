@@ -77,6 +77,7 @@ def get_spark(
         .config("spark.executorEnv.OPENBLAS_NUM_THREADS", "1")
         .config("spark.executorEnv.OMP_NUM_THREADS", "1")
         .config("spark.executorEnv.MKL_NUM_THREADS", "1")
+        .config("spark.executorEnv.NUMEXPR_NUM_THREADS", "1")
     )
     # shuffle/spill scratch: this sandbox's disk is shared-host and
     # becomes the bottleneck under high task concurrency (32 threads

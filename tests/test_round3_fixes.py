@@ -206,3 +206,24 @@ def test_minhash_portable_mode(spark):
     pairs = {(r["left_id"], r["right_id"]) for r in got.collect()}
     planted = {(2 * i, 2 * i + 1) for i in range(40)}
     assert len(planted & pairs) >= 30  # high-jaccard dups must collide
+
+
+def test_cli_task_registry_e2e(spark, tmp_path):
+    """CLI --task resolves through the registry and runs the pipeline
+    end-to-end (synthetic docs, surrogate backend)."""
+    import json
+
+    from ditto_spark.cli import main
+
+    cfgs = tmp_path / "configs.json"
+    cfgs.write_text(json.dumps([
+        {"name": "Structured/Synth", "task_type": "classification",
+         "vocab": ["0", "1"]},
+    ]))
+    out = tmp_path / "out"
+    rc = main(["--synthetic", "200", "--output", str(out),
+               "--task", "Structured/Synth", "--configs", str(cfgs),
+               "--dk", "--cores", "0"])
+    assert rc == 0
+    ents = spark.read.parquet(str(out / "entities"))
+    assert ents.count() == 200

@@ -26,26 +26,9 @@ def main() -> None:
     spark = get_spark(f"diag2-{cores}", cores=cores,
                       shuffle_partitions=cores)
 
-    if scorer == "model":
-        from ditto_spark.operators.npmodel import default_numpy_backend
+    from bench import scorer_config  # single source of leg configs
 
-        # threshold at the frozen-weight model's ~90th score
-        # percentile: random weights emit p1~0.5-0.9 for everything, so
-        # a low threshold would mark ALL candidates as matches and feed
-        # clustering a pathological near-complete graph; production ER
-        # decisions are sparse (~10% of candidates), and the surrogate
-        # pipeline's edge density matches that
-        cfg = PipelineConfig(sn_window=2,
-                             backend_factory=default_numpy_backend,
-                             native_scorer=False, threshold=0.9)
-    elif scorer == "prod":
-        from ditto_spark.operators.npmodel import prod_profile_backend
-
-        cfg = PipelineConfig(sn_window=2,
-                             backend_factory=prod_profile_backend,
-                             native_scorer=False, threshold=0.8)
-    else:
-        cfg = PipelineConfig(sn_window=2)
+    cfg = scorer_config(scorer)
 
     path = f"/tmp/ditto_spark_scale_docs_{n_docs}"
     docs = spark.read.parquet(path)
