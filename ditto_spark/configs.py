@@ -54,29 +54,35 @@ def get_task(configs: dict[str, dict], task: str) -> dict:
 
 def task_pipeline_config(
     conf: dict,
-    summarize: bool = False,
-    dk: bool = False,
-    max_len: int = 64,
-    threshold: float = 0.5,
+    summarize: bool | None = None,
+    dk: bool | None = None,
+    max_len: int | None = None,
+    threshold: float | None = None,
     **overrides,
 ):
     """Task entry + the reference's run flags -> PipelineConfig.
 
-    ``summarize``/``dk``/``max_len`` mirror matcher.py:303-313 (the
-    per-run preprocessing switches the reference passes alongside the
-    task); everything else keeps PipelineConfig defaults unless
-    overridden."""
+    ``summarize``/``dk``/``max_len``/``threshold`` mirror
+    matcher.py:303-313 (the per-run preprocessing switches the reference
+    passes alongside the task). Each is TRI-STATE: ``None`` (unspecified)
+    falls back to the PipelineConfig default, exactly mirroring the CLI's
+    --dk/--no-dk resolution — so resolving a task with no flags yields
+    the SAME preprocessing (and match decisions) as the no-task pipeline
+    default, for direct API callers and the CLI alike."""
     from ditto_spark.plans.pipeline import PipelineConfig
 
     if conf.get("task_type", "classification") != "classification":
         raise ValueError(
             f"task {conf.get('name')!r}: only classification tasks exist "
             f"in the reference registry (got {conf.get('task_type')!r})")
+    dflt = PipelineConfig()
     return PipelineConfig(
-        threshold=threshold,
-        use_summarizer=bool(summarize),
-        summarizer_max_len=max_len,
-        use_dk=bool(dk),
+        threshold=dflt.threshold if threshold is None else threshold,
+        use_summarizer=(dflt.use_summarizer if summarize is None
+                        else bool(summarize)),
+        summarizer_max_len=(dflt.summarizer_max_len if max_len is None
+                            else max_len),
+        use_dk=dflt.use_dk if dk is None else bool(dk),
         **overrides,
     )
 

@@ -19,8 +19,18 @@ minimum doc_id — deterministic, reproducible across partitionings.
 
 from __future__ import annotations
 
+import threading
+
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
+
+# Reliable-checkpoint mode mutates JVM-GLOBAL state
+# (sparkContext.setCheckpointDir); two concurrent reliable-mode CC runs
+# in one process would redirect each other's .checkpoint() calls into a
+# directory the other run deletes on exit. The lock serializes them —
+# correctness over concurrency for the rare same-process case (separate
+# Spark applications are unaffected; they own their own JVM).
+_RELIABLE_CC_LOCK = threading.Lock()
 
 
 def _canon(edges: DataFrame) -> DataFrame:
@@ -79,30 +89,73 @@ def connected_components(
     job late in its run. Pass ``checkpoint_dir`` (HDFS/S3 path) for
     RELIABLE checkpointing via ``sparkContext.setCheckpointDir`` +
     ``.checkpoint()``: each round's edge set is written to the reliable
-    store so recovery replays from the last round, not from raw edges."""
-    from ditto_spark.operators.hashing import porthash
+    store so recovery replays from the last round, not from raw edges.
 
-    cleanup_dir = None
-    if checkpoint_dir is not None:
-        import uuid
+    Session-state hygiene (``setCheckpointDir`` is JVM-global): the
+    session's previous checkpoint dir is saved and RESTORED on exit
+    (success or failure), this run's per-round edge copies live under a
+    unique subdir deleted in a ``finally`` (Spark never cleans reliable
+    checkpoints itself — at design scale an un-deleted run is a multi-TB
+    leak), and concurrent reliable-mode runs in one process serialize on
+    a module lock so neither can redirect the other's checkpoints into a
+    directory that is about to be deleted."""
+    if checkpoint_dir is None:
+        return _cc_run(edges, max_iter,
+                       lambda df: df.localCheckpoint(eager=True))
 
-        spark = edges.sparkSession
-        sc = spark.sparkContext
-        # scope this run's files under a unique subdir: up to max_iter
-        # rounds each write a full edge-set copy and Spark does not
-        # clean reliable checkpoints by default
-        # (spark.cleaner.referenceTracking.cleanCheckpoints=false) — at
-        # design scale that is a multi-TB leak; the subdir is deleted
-        # in the finally block once labels derive from the last round's
-        # materialized frame
+    import uuid
+
+    spark = edges.sparkSession
+    sc = spark.sparkContext
+    with _RELIABLE_CC_LOCK:
+        # save the session's dir (scala Option) for restoration — a
+        # caller using .checkpoint() elsewhere must get ITS dir back,
+        # not this run's soon-to-be-deleted subdir
+        prev_opt = sc._jsc.sc().getCheckpointDir()
+        prev_dir = prev_opt.get() if prev_opt.isDefined() else None
         cleanup_dir = f"{checkpoint_dir.rstrip('/')}/cc-{uuid.uuid4().hex}"
         sc.setCheckpointDir(cleanup_dir)
+        try:
+            labels = _cc_run(edges, max_iter,
+                             lambda df: df.checkpoint(eager=True))
+            # materialize the O(nodes) label table BEFORE the finally
+            # deletes the per-round edge copies it derives from (the
+            # caller should persist labels promptly — the iterations,
+            # not the epilogue, were the fault-exposed part the
+            # reliable mode protects)
+            return labels.localCheckpoint(eager=True)
+        finally:
+            # restore first, then delete this run's subdir — always, so
+            # a mid-iteration failure cannot leak the per-round copies
+            _restore_checkpoint_dir(sc, prev_dir)
+            jvm = sc._jvm
+            hconf = sc._jsc.hadoopConfiguration()
+            path = jvm.org.apache.hadoop.fs.Path(cleanup_dir)
+            path.getFileSystem(hconf).delete(path, True)
 
-        def _truncate(df: DataFrame) -> DataFrame:
-            return df.checkpoint(eager=True)
-    else:
-        def _truncate(df: DataFrame) -> DataFrame:
-            return df.localCheckpoint(eager=True)
+
+def _restore_checkpoint_dir(sc, prev_dir: str | None) -> None:
+    """Put the session's checkpoint dir back EXACTLY as found.
+
+    The public ``setCheckpointDir`` resolves its argument to a fresh
+    UUID subdirectory on every call, so round-tripping through it would
+    leave the session pointing one level below where it started (still
+    inside the caller's tree, but not bit-identical — and a test can't
+    assert it). Setting the scala ``checkpointDir`` var directly
+    restores the exact saved value; ``private[spark]`` compiles to a
+    public accessor, but fall back to the setter if the JVM refuses."""
+    try:
+        opt = sc._jvm.scala.Option.apply(prev_dir)
+        getattr(sc._jsc.sc(), "checkpointDir_$eq")(opt)
+    except Exception:  # pragma: no cover - accessor unavailable
+        # setCheckpointDir(None) unsets (it wraps the arg in Option)
+        sc._jsc.sc().setCheckpointDir(prev_dir)
+
+
+def _cc_run(edges: DataFrame, max_iter: int, _truncate) -> DataFrame:
+    """The alternating-star iteration itself; ``_truncate`` is the
+    per-round lineage cut (local or reliable checkpoint)."""
+    from ditto_spark.operators.hashing import porthash
 
     def _fingerprint(e: DataFrame) -> tuple:
         """(count, hash-sum) of the edge set — one cheap agg instead of
@@ -138,21 +191,10 @@ def connected_components(
                           F.col("src").alias("entity_id")).union(
         comp.select(F.col("src").alias("doc_id"),
                     F.col("src").alias("entity_id")))
-    labels = (
+    return (
         members.groupBy("doc_id")
         .agg(F.min("entity_id").alias("entity_id"))
     )
-    if cleanup_dir is not None:
-        # materialize the O(nodes) label table, then delete this run's
-        # per-round edge copies (the caller should persist labels
-        # promptly — the iterations, not the epilogue, were the
-        # fault-exposed part the reliable mode protects)
-        labels = labels.localCheckpoint(eager=True)
-        jvm = sc._jvm
-        jsc = sc._jsc.hadoopConfiguration()
-        path = jvm.org.apache.hadoop.fs.Path(cleanup_dir)
-        path.getFileSystem(jsc).delete(path, True)
-    return labels
 
 
 def assign_entities(docs: DataFrame, matches: DataFrame,

@@ -209,7 +209,14 @@ def split_production(df: DataFrame, id_col: str | None = None) -> DataFrame:
         h = F.concat_ws(
             "", porthash_seed(content, 1).cast("string"),
             F.lit("x"), porthash_seed(content, 2).cast("string"))
-        out = out.withColumn("_h", h)
+        # cache the hashed projection: three consumers below (dup_hashes
+        # aggregation, left_anti, left_semi) would otherwise each re-run
+        # the full input scan + the double porthash over the wide
+        # concatenated pair texts. Registered (not bare .cache()) so the
+        # caller's cache_scope / session cleanup releases it.
+        from ditto_spark.cachereg import cache_registered
+
+        out = cache_registered(out.withColumn("_h", h))
         dup_hashes = (out.groupBy("_h").count()
                       .filter(F.col("count") > 1).select("_h"))
         uniq = out.join(F.broadcast(dup_hashes), "_h", "left_anti") \
