@@ -365,19 +365,22 @@ def _cluster_cc(spark, sf_dir):
 
 def _er_pipeline_matches(spark, sf_dir):
     """Full ER pipeline matches (blocking union + iterator-UDF scoring).
-    Rows-only here (the default xxhash64 MinHash hash has no DuckDB
-    equivalent), but the SAME multi-pass DAG is hash-exact in
-    er_pipeline_full (portable md5 hash family) and its clustering tail
-    in er_pipeline_entities — together the flagship's content is fully
-    oracle-checked."""
+    No SQL oracle (the default xxhash64 MinHash hash has no DuckDB
+    equivalent), but content is HARD-GATED: the result must match a
+    committed golden value-hash at the correctness scales or this
+    raises (ditto_spark.golden) — and the SAME multi-pass DAG is
+    hash-exact vs DuckDB in er_pipeline_full (portable md5 hash family)
+    with its clustering tail in er_pipeline_entities."""
+    from ditto_spark.golden import content_gate
     from ditto_spark.plans.pipeline import PipelineConfig, run_pipeline
 
     docs = _spans_docs(spark, sf_dir).select(
         F.col("doc_id").cast("string").alias("doc_id"), "spans")
     out = run_pipeline(spark, docs, PipelineConfig(sn_window=2))
-    return out["scored"].select("left_id", "right_id", "match",
-                                F.round("match_confidence", 6)
-                                .alias("match_confidence"))
+    res = out["scored"].select("left_id", "right_id", "match",
+                               F.round("match_confidence", 6)
+                               .alias("match_confidence"))
+    return content_gate(res, "er_pipeline_matches", sf_dir)
 
 
 def _er_dk(spark, sf_dir):
@@ -773,9 +776,12 @@ def _dedup_ngram_jaccard_capped(spark, sf_dir):
 def _er_model_scores(spark, sf_dir):
     """M1-M3 with the REAL (numpy) transformer cross-encoder through the
     distributed mapInPandas path: SN candidates scored batched+padded per
-    worker. Deterministic (frozen seeded weights) but not one SQL query —
-    rows-only check; fidelity is gated by tests/test_model_gate.py's
-    differential against the unpadded single-node forward."""
+    worker. Deterministic (frozen seed-0 weights) but not one SQL query —
+    content is HARD-GATED against a committed golden value-hash at the
+    correctness scales (ditto_spark.golden; a perturbed weight or
+    plumbing drift raises), and fidelity to the unpadded single-node
+    forward is separately gated by tests/test_model_gate.py."""
+    from ditto_spark.golden import content_gate
     from ditto_spark.operators.npmodel import NumpyDittoBackend, make_weights
     from ditto_spark.operators.scoring import score_pairs
 
@@ -785,8 +791,9 @@ def _er_model_scores(spark, sf_dir):
     pairs = sorted_neighborhood(ser, F.lower(F.col("text")), window=1)
     scored = score_pairs(pairs, 0.10,
                          lambda: NumpyDittoBackend(w, micro_batch=64))
-    return scored.select("left_id", "right_id", "match",
-                         F.round("p1", 6).alias("p1r"))
+    res = scored.select("left_id", "right_id", "match",
+                        F.round("p1", 6).alias("p1r"))
+    return content_gate(res, "er_model_scores", sf_dir)
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
