@@ -21,6 +21,8 @@ bucket; multi-probe = explode neighbor buckets).
 
 from __future__ import annotations
 
+import numpy as np
+import pandas as pd
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
@@ -108,49 +110,13 @@ def rp_lsh_buckets(emb: DataFrame, n_bits: int = 8,
                       bucket.alias("bucket"))
 
 
-def ivf_topk(
-    emb: DataFrame,
-    queries: DataFrame,
-    k: int = 10,
-    n_cells: int | None = 16,
-    n_probe: int = 2,
-    id_col: str = "vec_id",
-    vec_col: str = "embedding",
-    seed: int = 42,
-    sample_fraction: float = 1.0,
-    exclude_self: bool = True,
-) -> DataFrame:
-    """IVF-style ANN: k-means coarse quantizer -> probe the n_probe
-    nearest cells -> exact cosine re-rank inside them.
-    ``exclude_self=False`` keeps same-id pairs (two-table callers, where
-    a left id may legitimately equal a right id).
-
-    Scale shape: centroids are trained once on a sample (pyspark.ml
-    KMeans) and broadcast; cell assignment is a broadcast join + window
-    min (n_cells rows — never a shuffle of the corpus by anything but
-    cell id); the probe join is an equi-join on cell. Recall grows with
-    n_probe (n_probe = n_cells degenerates to brute force).
-    """
-    from pyspark.ml.clustering import KMeans
-    from pyspark.ml.functions import array_to_vector
-
-    if n_cells is None:
-        # cells must GROW with the corpus or cells get crowded and the
-        # probe join degenerates quadratic: target ~sqrt(n) rows/cell
-        # (IVF convention), floor 16, capped so the centroid literal
-        # stays a sane codegen expression
-        n = emb.count()
-        n_cells = int(min(max(16, round(n ** 0.5)), 4096))
-
-    train = emb.select(array_to_vector(
-        F.col(vec_col).cast("array<double>")).alias("features"))
-    if sample_fraction < 1.0:
-        train = train.sample(sample_fraction, seed=seed)
-    model = KMeans(k=n_cells, seed=seed, featuresCol="features").fit(train)
-    centers = [list(map(float, c)) for c in model.clusterCenters()]
-    # centroids as an array-of-arrays LITERAL: cell assignment is a pure
-    # per-row codegen projection — no crossJoin, no window, no shuffle of
-    # the corpus (n_docs x n_cells distance terms evaluated in place)
+def _make_literal_assign(centers: list[list[float]]):
+    """Cell assignment as a pure codegen projection: centroids embedded
+    as an array-of-arrays LITERAL, distances via interpreted HOF lambdas.
+    Right for SMALL cell counts (the expression is O(n_cells x dim) per
+    row and interpreted); above IVF_BROADCAST_ASSIGN_MIN_CELLS the numpy
+    path wins by ~an order of magnitude."""
+    n_cells = len(centers)
     cent_arr = F.array(*[
         F.array(*[F.lit(x) for x in c]) for c in centers
     ])
@@ -182,6 +148,109 @@ def ivf_topk(
         return (with_d.select("id", "vec",
                               F.explode(ranked).alias("_r"))
                 .select("id", "vec", F.col("_r.cell").alias("cell")))
+
+    return assign
+
+
+def _make_numpy_assign(spark, centers: list[list[float]]):
+    """Cell assignment as ONE numpy distance block per Arrow batch
+    against a BROADCAST centroid matrix — the scale path (VERDICT r3
+    #2): per row the work is a BLAS row x matrix product instead of
+    n_cells x dim interpreted lambda evaluations. Same plan shape as
+    the literal path (a per-row projection, no shuffle); ties break by
+    lowest cell index on both paths (np.argsort kind='stable' /
+    argmin-first matches array_position-of-min and the struct sort)."""
+    cent = np.asarray(centers, dtype=np.float64)          # (C, dim)
+    cent_sq = (cent * cent).sum(axis=1)                   # (C,)
+    bc = spark.sparkContext.broadcast((cent, cent_sq))
+
+    def assign(df, n_keep):
+        @F.pandas_udf("array<int>")
+        def topcells(vs: pd.Series) -> pd.Series:
+            C, Csq = bc.value
+            if len(vs) == 0:
+                return pd.Series([], dtype=object)
+            V = np.asarray(vs.tolist(), dtype=np.float64)  # (B, dim)
+            # squared distance via the expansion ||v||^2 - 2 v.C + ||c||^2;
+            # the ||v||^2 term is constant per row, irrelevant to ranking
+            d2 = Csq[None, :] - 2.0 * (V @ C.T)
+            if n_keep == 1:
+                idx = d2.argmin(axis=1).astype("int32")[:, None]
+            else:
+                idx = np.argsort(d2, axis=1, kind="stable")[
+                    :, :n_keep].astype("int32")
+            return pd.Series(list(idx))
+
+        out = df.withColumn("_cells", topcells(F.col("vec")))
+        if n_keep == 1:
+            return out.select(
+                "id", "vec",
+                F.element_at(F.col("_cells"), 1).alias("cell"))
+        return (out.select("id", "vec",
+                           F.explode(F.col("_cells")).alias("cell")))
+
+    return assign
+
+
+# Above this cell count, IVF cell assignment switches from the codegen
+# centroid-literal expression to one numpy matmul per Arrow batch
+# against a broadcast centroid matrix. The literal path evaluates an
+# interpreted higher-order lambda per (row, cell) — measured ~10x
+# codegen cost per op in this repo (BENCH.md r1) and ~260k interpreted
+# ops/row at the auto-path's 4096-cell cap — while BLAS does the same
+# distance block in microseconds.
+IVF_BROADCAST_ASSIGN_MIN_CELLS = 256
+
+
+def ivf_topk(
+    emb: DataFrame,
+    queries: DataFrame,
+    k: int = 10,
+    n_cells: int | None = 16,
+    n_probe: int = 2,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    seed: int = 42,
+    sample_fraction: float = 1.0,
+    exclude_self: bool = True,
+    broadcast_assign: bool | None = None,
+) -> DataFrame:
+    """IVF-style ANN: k-means coarse quantizer -> probe the n_probe
+    nearest cells -> exact cosine re-rank inside them.
+    ``exclude_self=False`` keeps same-id pairs (two-table callers, where
+    a left id may legitimately equal a right id).
+
+    Scale shape: centroids are trained once on a sample (pyspark.ml
+    KMeans) and shipped to every task (literal expression below
+    ``IVF_BROADCAST_ASSIGN_MIN_CELLS`` cells, broadcast numpy matrix
+    above — ``broadcast_assign`` forces either); cell assignment is a
+    per-row projection with NO shuffle of the corpus by anything but
+    cell id; the probe join is an equi-join on cell. Recall grows with
+    n_probe (n_probe = n_cells degenerates to brute force).
+    """
+    from pyspark.ml.clustering import KMeans
+    from pyspark.ml.functions import array_to_vector
+
+    if n_cells is None:
+        # cells must GROW with the corpus or cells get crowded and the
+        # probe join degenerates quadratic: target ~sqrt(n) rows/cell
+        # (IVF convention), floor 16; the 4096 cap bounds the broadcast
+        # centroid block (4096 x dim doubles — KBs to a few MB)
+        n = emb.count()
+        n_cells = int(min(max(16, round(n ** 0.5)), 4096))
+
+    train = emb.select(array_to_vector(
+        F.col(vec_col).cast("array<double>")).alias("features"))
+    if sample_fraction < 1.0:
+        train = train.sample(sample_fraction, seed=seed)
+    model = KMeans(k=n_cells, seed=seed, featuresCol="features").fit(train)
+    centers = [list(map(float, c)) for c in model.clusterCenters()]
+    if broadcast_assign is None:
+        broadcast_assign = n_cells > IVF_BROADCAST_ASSIGN_MIN_CELLS
+    if broadcast_assign:
+        assign = _make_numpy_assign(emb.sparkSession, centers)
+    else:
+        assign = _make_literal_assign(centers)
 
     base = assign(
         emb.select(F.col(id_col).alias("id"), F.col(vec_col).alias("vec")),

@@ -57,6 +57,18 @@ class PipelineConfig:
     # order-preserving per-doc variant via use_summarizer.
     ref_summarizer: bool = False
     ref_summarizer_max_len: int = 128
+    # Parallelism of the model-scoring stage (mapInPandas path only; the
+    # native codegen path needs no pin). None = score_pairs' default of
+    # 4 x defaultParallelism — right on local[N] and on moderate
+    # clusters, where it opts out of AQE's byte-based coalescing (which
+    # otherwise collapses the narrow candidate table to 1-2 partitions
+    # and serializes model inference) and absorbs pair-length skew. On
+    # LARGE clusters (defaultParallelism = total cores, petabyte-scale
+    # pair counts) set it explicitly: 4x total cores may over-shard the
+    # candidate shuffle, and conversely a cluster scoring billions of
+    # pairs may want partitions sized to ~100k pairs each regardless of
+    # core count. See docs/PLANS.md "score_pairs parallelism".
+    score_partitions: int | None = None
     # Bound on the driver-collected ref-TFIDF vocabulary (top-df tokens).
     # The oracle entries keep max_vocab=None for sklearn-exactness, but
     # the pipeline default must never collect an unbounded vocab at
@@ -195,7 +207,8 @@ def run_pipeline(
                                         max_vocab=cfg.ref_tfidf_max_vocab)
                 cands = summarize_pairs_ref(
                     cands, vocab, max_len=cfg.ref_summarizer_max_len)
-            return score_pairs(cands, cfg.threshold, cfg.backend_factory)
+            return score_pairs(cands, cfg.threshold, cfg.backend_factory,
+                               num_partitions=cfg.score_partitions)
         # native path: per-doc token arrays joined onto id pairs
         return score_id_pairs_native(candidates, serialized, cfg.threshold)
 

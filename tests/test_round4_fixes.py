@@ -129,3 +129,44 @@ def test_split_production_caches_hashed_projection(spark):
     # duplicate rows got distinct suffixes, unique row suffix '-1'
     ids = sorted(r["left_id"] for r in out)
     assert len(set(ids)) == 3
+
+
+def test_score_partitions_knob(spark):
+    """PipelineConfig.score_partitions pins the model stage's
+    parallelism (VERDICT r3 #8: cluster profiles need the knob; 4x
+    defaultParallelism stays the default)."""
+    from ditto_spark.operators.npmodel import default_numpy_backend
+    from ditto_spark.plans.pipeline import PipelineConfig, run_pipeline
+    from ditto_spark.synth import distributed_docs
+
+    docs = distributed_docs(spark, 200, seed=3)
+    out = run_pipeline(spark, docs, PipelineConfig(
+        sn_window=2, backend_factory=default_numpy_backend,
+        native_scorer=False, score_partitions=3))
+    assert out["scored"].rdd.getNumPartitions() == 3
+
+
+def test_checkpoint_state_partition_pure():
+    """The torch checkpoint key handling is a pure function (VERDICT r3
+    #7): right keys partition cleanly; a missing encoder or an empty
+    head raises; the {'model': sd} wrapper unwraps."""
+    import pytest as _pytest
+
+    from ditto_spark.operators.scoring import (partition_ditto_state,
+                                               unwrap_checkpoint_state)
+
+    sd = {"bert.embeddings.weight": 1, "bert.encoder.layer.0.w": 2,
+          "fc.weight": 3, "fc.bias": 4, "optimizer.lr": 9}
+    enc, head = partition_ditto_state(sd)
+    assert enc == {"embeddings.weight": 1, "encoder.layer.0.w": 2}
+    assert head == {"weight": 3, "bias": 4}
+
+    with _pytest.raises(ValueError, match="not a reference-layout"):
+        partition_ditto_state({"fc.weight": 3, "fc.bias": 4}, "x.pt")
+    with _pytest.raises(ValueError, match="not a reference-layout"):
+        partition_ditto_state({"bert.embeddings.weight": 1}, "x.pt")
+    with _pytest.raises(ValueError, match="not a reference-layout"):
+        partition_ditto_state({"encoder.w": 1, "head.w": 2}, "x.pt")
+
+    assert unwrap_checkpoint_state({"model": sd, "epoch": 3}) is sd
+    assert unwrap_checkpoint_state(sd) is sd

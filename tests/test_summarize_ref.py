@@ -109,50 +109,32 @@ def test_oov_tokens_score_zero():
     assert sc == "COL k VAL zz aa"
 
 
-# --- wordpiece-style len_fn fixture (VERDICT r2 #8) ---------------------
-# A tiny greedy longest-match-first wordpiece vocab, checked in as code
-# (no downloads): proves the budget arithmetic holds for a len_fn whose
-# piece counts differ materially from the ceil(len/4) surrogate.
-_WP_VOCAB = {
-    # whole words
-    "col", "val", "name", "the", "and", "of", "inc", "corp", "llc",
-    # common prefixes
-    "un", "re", "pre", "inter", "over", "micro", "data", "tech",
-    # suffix pieces (wordpiece '##' continuation)
-    "##s", "##ed", "##ing", "##er", "##tion", "##al", "##ic", "##co",
-    "##a", "##b", "##c", "##d", "##e", "##f", "##g", "##h", "##i",
-    "##j", "##k", "##l", "##m", "##n", "##o", "##p", "##q", "##r",
-    "##t", "##u", "##v", "##w", "##x", "##y", "##z", "##0", "##1",
-    "##2", "##3", "##4", "##5", "##6", "##7", "##8", "##9", "##_",
-    "##.", "##-",
-} | {chr(c) for c in range(ord("a"), ord("z") + 1)} \
-  | {str(d) for d in range(10)} | {"_", ".", "-"}
+# --- wordpiece len_fn: the PUBLIC factory over the checked-in fixture
+# vocab (VERDICT r2 #8 differential, promoted to a usable artifact in
+# r3 #6: ditto_spark/resources/wordpiece_fixture.vocab +
+# summarize_ref.wordpiece_len_fn / load_wordpiece_vocab)
+from ditto_spark.operators.summarize_ref import (  # noqa: E402
+    load_wordpiece_vocab, wordpiece_len_fn,
+)
+
+wordpiece_len = wordpiece_len_fn(load_wordpiece_vocab())
 
 
-def wordpiece_len(word: str) -> int:
-    """Greedy longest-match-first wordpiece piece count over _WP_VOCAB
-    (the BertTokenizer algorithm); unknown characters -> [UNK] (1)."""
-    w = word.lower()
-    if not w:
-        return 0
-    pieces = 0
-    start = 0
-    while start < len(w):
-        end = len(w)
-        found = None
-        while start < end:
-            sub = w[start:end]
-            if start > 0:
-                sub = "##" + sub
-            if sub in _WP_VOCAB:
-                found = end
-                break
-            end -= 1
-        if found is None:
-            return pieces + 1  # [UNK] swallows the rest of the word
-        pieces += 1
-        start = found
-    return pieces
+def test_wordpiece_factory_semantics():
+    """The public factory implements HF WordpieceTokenizer semantics:
+    greedy longest-match-first, [UNK] on unmatchable remainder, [UNK]
+    on over-long words, 0 for empty."""
+    fn = wordpiece_len_fn()  # default = fixture vocab
+    assert fn("") == 0
+    assert fn("col") == 1                 # whole-word piece
+    assert fn("data") == 1                # prefix piece consumed whole
+    assert fn("corps") == 2               # corp + ##s
+    assert fn("\u00e9clair") == 1          # '\u00e9' not in vocab -> [UNK]
+    assert fn("x" * 101) == 1             # max_chars_per_word -> [UNK]
+    # a custom vocab drops in (real LM vocab.txt format)
+    tiny = wordpiece_len_fn({"ab", "##cd"})
+    assert tiny("abcd") == 2
+    assert tiny("abx") == 2               # ab + [UNK] remainder
 
 
 def test_summarizer_budget_with_wordpiece_len_fn(spark):
