@@ -796,6 +796,106 @@ def _er_model_scores(spark, sf_dir):
     return content_gate(res, "er_model_scores", sf_dir)
 
 
+def _sim_ann_lsh(spark, sf_dir):
+    """RP-LSH ANN top-k (J4/similarity scale path) through the
+    VECTORIZED sign-matrix bucketing (dim=64): probes join only their
+    own bucket, exact cosine re-rank inside. The oracle recomputes the
+    deterministic ±1 projections from the portable md5 hash — the
+    bucketing needs no stored matrix on either engine."""
+    from ditto_spark.operators.similarity import ann_topk_lsh
+
+    e = _t(spark, sf_dir, "embeddings")
+    return ann_topk_lsh(e, e.filter(F.col("vec_id") < 20), k=5,
+                        n_bits=8, dim=64)
+
+
+def _rp_proj_sql(b: int) -> str:
+    sign = (f"CASE WHEN (('0x' || substr(md5('rp{b}_' || "
+            f"CAST(i AS VARCHAR)), 1, 15))::BIGINT) % 2 = 0 "
+            f"THEN 1.0 ELSE -1.0 END")
+    return (f"list_sum(list_transform(range(len(embedding)), "
+            f"i -> embedding[i+1]::DOUBLE * ({sign})))")
+
+
+def _ann_lsh_oracle_sql(n_bits: int = 8, k: int = 5) -> str:
+    bucket = " + ".join(
+        f"(CASE WHEN ({_rp_proj_sql(b)}) > 0 THEN {2 ** b} ELSE 0 END)"
+        for b in range(n_bits))
+    return f"""
+        WITH bkt AS (
+          SELECT vec_id, embedding, ({bucket}) AS bucket
+          FROM embeddings),
+        scored AS (
+          SELECT a.vec_id AS query_id, b.vec_id AS neighbor_id,
+                 {_COS} AS cosine
+          FROM bkt a JOIN bkt b
+            ON a.bucket = b.bucket AND a.vec_id != b.vec_id
+          WHERE a.vec_id < 20),
+        ranked AS (
+          SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+            ORDER BY cosine DESC, neighbor_id ASC) AS rank
+          FROM scored)
+        SELECT query_id, neighbor_id, cosine, rank
+        FROM ranked WHERE rank <= {k}
+    """
+
+
+def _er_incremental_entities(spark, sf_dir):
+    """§2.8 streaming, entity tail (engine addition; the reference is
+    batch-only): stream 200 docs in 3 micro-batches through
+    incremental_entities (band-index candidate join + localized-CC label
+    merge per batch), then HARD-ASSERT the resolved labels equal the
+    batch pipeline's labels over the same corpus and candidate
+    generation — a self-contained Python oracle, so the driver's
+    rows-only record is backed by an in-entry content check (raises on
+    any divergence). No SQL oracle: Structured Streaming + xxhash64
+    MinHash are not one DuckDB query."""
+    import shutil
+    import tempfile
+
+    from ditto_spark.operators.blocking import (attach_texts,
+                                                minhash_lsh_blocking)
+    from ditto_spark.operators.clustering import assign_entities
+    from ditto_spark.operators.scoring import score_pairs
+    from ditto_spark.streaming.incremental_er import (incremental_entities,
+                                                      read_entity_labels)
+
+    docs = _spans_docs(spark, sf_dir).filter(F.col("doc_id") < 200).select(
+        F.col("doc_id").cast("string").alias("doc_id"), "spans")
+    tmp = tempfile.mkdtemp(prefix="er_inc_")
+    try:
+        rows = docs.collect()
+        third = (len(rows) + 2) // 3
+        for i in range(3):
+            chunk = rows[i * third:(i + 1) * third]
+            (spark.createDataFrame(chunk, docs.schema).coalesce(1)
+             .write.mode("append").parquet(f"{tmp}/in"))
+        stream = (spark.readStream.schema(docs.schema)
+                  .option("maxFilesPerTrigger", 1).parquet(f"{tmp}/in"))
+        incremental_entities(spark, stream, f"{tmp}/work", f"{tmp}/ck")
+        got = {r["doc_id"]: r["entity_id"] for r in read_entity_labels(
+            spark, f"{tmp}/work/labels").collect()}
+        # batch oracle: same band-bucket candidates, same scorer, global CC
+        ser = docs.select(
+            "doc_id", serialize_spans(F.col("spans"),
+                                      drop_empty=True).alias("text"))
+        pairs = minhash_lsh_blocking(ser, n_hashes=24, bands=6, shingle_n=3,
+                                     max_bucket_rows=None, with_texts=False)
+        scored = score_pairs(attach_texts(pairs, ser), 0.5)
+        want = {r["doc_id"]: r["entity_id"] for r in assign_entities(
+            ser.select("doc_id"), scored).collect()}
+        if got != want:
+            diff = {k for k in set(got) | set(want)
+                    if got.get(k) != want.get(k)}
+            raise AssertionError(
+                f"incremental labels diverge from batch pipeline on "
+                f"{len(diff)} docs, e.g. {sorted(diff)[:5]}")
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+    return spark.createDataFrame(sorted(got.items()),
+                                 "doc_id string, entity_id string")
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "q1_pricing_summary": _q1_pricing_summary,
@@ -846,6 +946,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "er_threshold_verified": _er_threshold_verified,
         "dedup_ngram_jaccard_capped": _dedup_ngram_jaccard_capped,
         "er_model_scores": _er_model_scores,
+        "er_incremental_entities": _er_incremental_entities,
+        "sim_ann_lsh": _sim_ann_lsh,
     }
 
 
@@ -1537,6 +1639,7 @@ def oracle_sql() -> dict[str, str]:
         "er_pipeline_full": _pipeline_full_oracle_sql(),
         "er_threshold_verified": _threshold_verified_oracle_sql(),
         "dedup_ngram_jaccard_capped": _ngram_capped_oracle_sql(),
+        "sim_ann_lsh": _ann_lsh_oracle_sql(),
     }
 
 

@@ -79,13 +79,18 @@ def two_table_topk_blocking(
     exact baseline, audit-only at scale. ``exact=False`` routes through
     the IVF coarse-quantizer ANN (one equi-join on cell id). Default
     ``None`` picks exact only while BOTH sides stay under
-    ``max_exact_rows`` (two cheap count jobs); a 100TB run can never
-    silently fall into the quadratic form."""
+    ``max_exact_rows``, probed with BOUNDED limit(n+1) scans (a full
+    .count() on a 10^12-row table is itself a job; the limit probe
+    early-terminates after n+1 rows) and short-circuited so an
+    oversized left side skips probing the right entirely; a 100TB run
+    can never silently fall into the quadratic form."""
     from ditto_spark.operators.similarity import cosine, ivf_topk
 
     if exact is None:
-        exact = (dfa.count() <= max_exact_rows
-                 and dfb.count() <= max_exact_rows)
+        def _exceeds(df: DataFrame) -> bool:
+            return df.limit(max_exact_rows + 1).count() > max_exact_rows
+
+        exact = not (_exceeds(dfa) or _exceeds(dfb))
     ea = hashed_bow_embed(dfa, id_col, text_col, dim)
     eb = hashed_bow_embed(dfb, id_col, text_col, dim)
     if not exact:

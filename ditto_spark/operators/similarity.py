@@ -96,10 +96,53 @@ def rp_projection(vec: Column, seed: int) -> Column:
     return F.aggregate(terms, F.lit(0.0), lambda acc, x: acc + x)
 
 
+def rp_sign_matrix(n_bits: int, dim: int) -> "np.ndarray":
+    """The (dim, n_bits) ±1 projection matrix, computed driver-side
+    BIT-IDENTICALLY to the ``_sign`` column expression: porthash is
+    md5-prefix, so ``int(md5(f"rp{b}_{i}")[:15], 16) % 2`` reproduces
+    the JVM's conv(substring(md5(...)))."""
+    import hashlib
+
+    s = np.empty((dim, n_bits), dtype=np.float64)
+    for b in range(n_bits):
+        for i in range(dim):
+            h = int(hashlib.md5(f"rp{b}_{i}".encode()).hexdigest()[:15], 16)
+            s[i, b] = 1.0 if h % 2 == 0 else -1.0
+    return s
+
+
 def rp_lsh_buckets(emb: DataFrame, n_bits: int = 8,
                    id_col: str = "vec_id",
-                   vec_col: str = "embedding") -> DataFrame:
-    """(id, bucket int) — bucket = sign bits of n_bits projections."""
+                   vec_col: str = "embedding",
+                   dim: int | None = None) -> DataFrame:
+    """(id, bucket int) — bucket = sign bits of n_bits projections.
+
+    ``dim=None`` keeps the pure-expression path: SQL-reproducible (no
+    stored projection matrix) but interpreted — every element evaluates
+    an md5 porthash inside a HOF lambda, n_bits x dim interpreted ops
+    per row. Passing ``dim`` (the embedding dimensionality) switches to
+    ONE numpy matmul per Arrow batch against the broadcast ±1 sign
+    matrix — the scale path, same family as the IVF assignment fix.
+    Signs are bit-identical between paths (rp_sign_matrix); projections
+    may differ by float summation order only, so a bucket can flip only
+    on a knife-edge |projection| ~ 1 ulp."""
+    if dim is not None:
+        spark = emb.sparkSession
+        bc = spark.sparkContext.broadcast(rp_sign_matrix(n_bits, dim))
+        powers = np.power(2.0, np.arange(n_bits))
+
+        @F.pandas_udf("long")
+        def buckets(vs: pd.Series) -> pd.Series:
+            if len(vs) == 0:
+                return pd.Series([], dtype="int64")
+            v = np.asarray(vs.tolist(), dtype=np.float64)
+            proj = v @ bc.value
+            return pd.Series(((proj > 0) @ powers).astype("int64"),
+                             index=vs.index)
+
+        return emb.select(F.col(id_col).alias("id"),
+                          F.col(vec_col).alias("vec"),
+                          buckets(F.col(vec_col)).alias("bucket"))
     bucket = F.lit(0)
     for b in range(n_bits):
         bucket = bucket + F.when(
@@ -286,12 +329,15 @@ def ann_topk_lsh(
     n_bits: int = 8,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    dim: int | None = None,
 ) -> DataFrame:
     """Approximate top-k: probes join only their own LSH bucket, exact
     cosine re-rank inside. Recall < 1 by construction (single-probe);
-    union more probe buckets for higher recall."""
-    base = rp_lsh_buckets(emb, n_bits, id_col, vec_col)
-    probes = rp_lsh_buckets(queries, n_bits, id_col, vec_col).select(
+    union more probe buckets for higher recall. Pass ``dim`` to bucket
+    via the vectorized numpy projection (scale path; see
+    rp_lsh_buckets)."""
+    base = rp_lsh_buckets(emb, n_bits, id_col, vec_col, dim)
+    probes = rp_lsh_buckets(queries, n_bits, id_col, vec_col, dim).select(
         F.col("id").alias("query_id"), F.col("vec").alias("qv"), "bucket")
     cands = probes.join(
         base.select(F.col("id").alias("neighbor_id"),

@@ -17,7 +17,7 @@ its new docs hash into (partition pruning on the join key).
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ditto_spark.operators.blocking import attach_texts, minhash_band_buckets
@@ -129,12 +129,56 @@ def read_entity_labels(spark: SparkSession, labels_path: str,
     per-batch label partitions — merge-on-read, so a batch rewrites only
     the docs it touched, never the full table (at design scale the label
     table is 10^12 rows; rewriting it per micro-batch is a non-starter,
-    appending small update partitions is O(touched))."""
+    appending small update partitions is O(touched)).
+
+    Plan: one ``max_by`` aggregation, NOT a row_number window — the agg
+    runs a map-side partial (each input partition reduces to its local
+    latest before the shuffle), so the exchange moves ~one row per
+    (doc, file-partition) instead of every historical update. Run
+    ``compact_entity_labels`` periodically so the resolve scans O(1)
+    partitions rather than the full update history."""
     df = _read_batch_parts(spark, labels_path,
                            "doc_id string, entity_id string", before_batch)
-    w = Window.partitionBy("doc_id").orderBy(F.desc("batch"))
-    return (df.withColumn("_rk", F.row_number().over(w))
-            .filter(F.col("_rk") == 1).select("doc_id", "entity_id"))
+    return df.groupBy("doc_id").agg(
+        F.max_by("entity_id", "batch").alias("entity_id"))
+
+
+def compact_entity_labels(spark: SparkSession, labels_path: str) -> int:
+    """Fold the accumulated per-batch update partitions into the latest
+    batch partition as a full snapshot, then drop the older partitions.
+    Returns the number of partitions dropped.
+
+    Keeps the per-batch resolve O(1): without compaction every
+    ``read_entity_labels`` (one per micro-batch) scans the entire update
+    history. Crash-safe ordering: the snapshot is materialized and
+    WRITTEN FIRST (into the max-batch partition, whose rows it
+    supersets — resolve semantics are unchanged by the overwrite), old
+    partitions are deleted after; a crash in between leaves extra
+    partitions whose content the snapshot subsumes, still correct."""
+    df = _read_batch_parts(spark, labels_path,
+                           "doc_id string, entity_id string")
+    row = df.agg(F.max("batch").alias("m")).first()
+    if row["m"] is None:
+        return 0
+    max_batch = int(row["m"])
+    resolved = read_entity_labels(spark, labels_path)
+    # materialize BEFORE any rewrite: the snapshot derives from the
+    # partitions about to be replaced/deleted
+    resolved = resolved.localCheckpoint(eager=True)
+    resolved.write.mode("overwrite").parquet(
+        f"{labels_path}/batch={max_batch}")
+    sc = spark.sparkContext
+    jvm = sc._jvm
+    hconf = sc._jsc.hadoopConfiguration()
+    root = jvm.org.apache.hadoop.fs.Path(labels_path)
+    fs = root.getFileSystem(hconf)
+    dropped = 0
+    for status in fs.listStatus(root):
+        name = status.getPath().getName()
+        if name.startswith("batch=") and int(name[6:]) < max_batch:
+            fs.delete(status.getPath(), True)
+            dropped += 1
+    return dropped
 
 
 def merge_entity_updates(labels: DataFrame, new_edges: DataFrame,

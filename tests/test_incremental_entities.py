@@ -108,3 +108,37 @@ def test_merge_entity_updates_bridges_two_entities(spark):
     upd = {r["doc_id"]: r["entity_id"]
            for r in merge_entity_updates(labels, edges).collect()}
     assert upd == {"a": "a", "b": "a", "m": "a", "z": "a"}
+
+
+def test_compact_entity_labels(spark, tmp_path):
+    """Compaction folds the update history into one partition with
+    identical resolved labels, and resolve-after-compact still works."""
+    from ditto_spark.streaming.incremental_er import (compact_entity_labels,
+                                                      read_entity_labels)
+
+    lp = str(tmp_path / "labels")
+    # batch 0: a->a, b->b ; batch 1: b->a (merge), c->c ; batch 2: d->d
+    spark.createDataFrame([("a", "a"), ("b", "b")],
+                          "doc_id string, entity_id string"
+                          ).write.parquet(f"{lp}/batch=0")
+    spark.createDataFrame([("b", "a"), ("c", "c")],
+                          "doc_id string, entity_id string"
+                          ).write.parquet(f"{lp}/batch=1")
+    spark.createDataFrame([("d", "d")],
+                          "doc_id string, entity_id string"
+                          ).write.parquet(f"{lp}/batch=2")
+    want = {r["doc_id"]: r["entity_id"]
+            for r in read_entity_labels(spark, lp).collect()}
+    assert want == {"a": "a", "b": "a", "c": "c", "d": "d"}
+    dropped = compact_entity_labels(spark, lp)
+    assert dropped == 2
+    import os
+    assert sorted(p for p in os.listdir(lp)
+                  if p.startswith("batch=")) == ["batch=2"]
+    got = {r["doc_id"]: r["entity_id"]
+           for r in read_entity_labels(spark, lp).collect()}
+    assert got == want
+    # compacting an already-compact table is a no-op
+    assert compact_entity_labels(spark, lp) == 0
+    # empty dir: graceful 0
+    assert compact_entity_labels(spark, str(tmp_path / "nope")) == 0

@@ -237,3 +237,23 @@ def test_ivf_numpy_assignment_matches_literal(spark):
     a = {(r.query_id, r.neighbor_id, r.cosine) for r in lit.collect()}
     b = {(r.query_id, r.neighbor_id, r.cosine) for r in npy.collect()}
     assert a == b
+
+
+def test_rp_lsh_numpy_buckets_match_expression(spark):
+    """The vectorized sign-matrix bucketing equals the SQL-reproducible
+    expression path bit-for-bit on integer-valued vectors (sums exact in
+    float64 regardless of accumulation order, so no knife-edge flips)."""
+    import random
+
+    from ditto_spark.operators.similarity import rp_lsh_buckets
+
+    rng = random.Random(11)
+    dim = 16
+    rows = [(i, [float(rng.randint(-5, 5)) for _ in range(dim)])
+            for i in range(200)]
+    df = spark.createDataFrame(rows, "vec_id int, embedding array<double>")
+    expr = {r["id"]: r["bucket"]
+            for r in rp_lsh_buckets(df, n_bits=8).collect()}
+    fast = {r["id"]: r["bucket"]
+            for r in rp_lsh_buckets(df, n_bits=8, dim=dim).collect()}
+    assert expr == fast

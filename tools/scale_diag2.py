@@ -75,11 +75,17 @@ def main() -> None:
     stages["cluster"] = round(time.monotonic() - t0, 2)
 
     total = round(time.monotonic() - t_all, 2)
+    # counts AFTER the timed section, over already-materialized frames
+    # (scored/candidates are eager localCheckpoints) — diagnostics, not
+    # measured work
     print(json.dumps({"cores": cores, "n_docs": n_docs, "scorer": scorer,
                       "total": total,
                       "docs_per_sec": round(n_docs / total, 1),
                       "stages": stages,
                       "n_candidates": candidates.count(),
+                      "n_matches": scored.filter("match = 1").count(),
+                      "n_entities": entities.select("entity_id")
+                      .distinct().count(),
                       }))
     spark.stop()
 
