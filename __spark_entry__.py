@@ -840,6 +840,46 @@ def _ann_lsh_oracle_sql(n_bits: int = 8, k: int = 5) -> str:
     """
 
 
+def _sim_ann_lsh_multiprobe(spark, sf_dir):
+    """Hamming-1 multi-probe variant of sim_ann_lsh: each query also
+    probes every 1-bit-flip bucket (recall lever; candidate volume
+    bounded at 1 + n_bits probe buckets, base index untouched). The
+    oracle reproduces the probing with a cross-join against the 9
+    xor masks."""
+    from ditto_spark.operators.similarity import ann_topk_lsh
+
+    e = _t(spark, sf_dir, "embeddings")
+    return ann_topk_lsh(e, e.filter(F.col("vec_id") < 20), k=5,
+                        n_bits=8, dim=64, multiprobe=True)
+
+
+def _ann_lsh_multiprobe_oracle_sql(n_bits: int = 8, k: int = 5) -> str:
+    bucket = " + ".join(
+        f"(CASE WHEN ({_rp_proj_sql(b)}) > 0 THEN {2 ** b} ELSE 0 END)"
+        for b in range(n_bits))
+    masks = ", ".join(["(0)"] + [f"({1 << b})" for b in range(n_bits)])
+    return f"""
+        WITH bkt AS (
+          SELECT vec_id, embedding, ({bucket}) AS bucket
+          FROM embeddings),
+        probes AS (
+          SELECT vec_id, embedding, xor(bucket, m.mask) AS bucket
+          FROM bkt, (VALUES {masks}) AS m(mask)
+          WHERE vec_id < 20),
+        scored AS (
+          SELECT a.vec_id AS query_id, b.vec_id AS neighbor_id,
+                 {_COS} AS cosine
+          FROM probes a JOIN bkt b
+            ON a.bucket = b.bucket AND a.vec_id != b.vec_id),
+        ranked AS (
+          SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+            ORDER BY cosine DESC, neighbor_id ASC) AS rank
+          FROM scored)
+        SELECT query_id, neighbor_id, cosine, rank
+        FROM ranked WHERE rank <= {k}
+    """
+
+
 def _er_incremental_entities(spark, sf_dir):
     """§2.8 streaming, entity tail (engine addition; the reference is
     batch-only): stream 200 docs in 3 micro-batches through
@@ -948,6 +988,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "er_model_scores": _er_model_scores,
         "er_incremental_entities": _er_incremental_entities,
         "sim_ann_lsh": _sim_ann_lsh,
+        "sim_ann_lsh_multiprobe": _sim_ann_lsh_multiprobe,
     }
 
 
@@ -1640,6 +1681,7 @@ def oracle_sql() -> dict[str, str]:
         "er_threshold_verified": _threshold_verified_oracle_sql(),
         "dedup_ngram_jaccard_capped": _ngram_capped_oracle_sql(),
         "sim_ann_lsh": _ann_lsh_oracle_sql(),
+        "sim_ann_lsh_multiprobe": _ann_lsh_multiprobe_oracle_sql(),
     }
 
 

@@ -330,15 +330,29 @@ def ann_topk_lsh(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     dim: int | None = None,
+    multiprobe: bool = False,
 ) -> DataFrame:
     """Approximate top-k: probes join only their own LSH bucket, exact
-    cosine re-rank inside. Recall < 1 by construction (single-probe);
-    union more probe buckets for higher recall. Pass ``dim`` to bucket
-    via the vectorized numpy projection (scale path; see
-    rp_lsh_buckets)."""
+    cosine re-rank inside. Recall < 1 by construction; pass
+    ``multiprobe=True`` to also probe every Hamming-distance-1 bucket
+    (the standard multi-probe LSH recall lever: a near-neighbor that
+    landed across ONE hyperplane is recovered without growing the
+    index). Cost model at scale: candidate volume grows ~(1 + n_bits)x
+    the single-probe volume while the base-side index is UNCHANGED —
+    the explode is on the (small) query side only, stays whole-stage
+    codegen, and each probe bucket is distinct so the equi-join yields
+    no duplicate pairs. Pass ``dim`` to bucket via the vectorized numpy
+    projection (scale path; see rp_lsh_buckets)."""
     base = rp_lsh_buckets(emb, n_bits, id_col, vec_col, dim)
     probes = rp_lsh_buckets(queries, n_bits, id_col, vec_col, dim).select(
         F.col("id").alias("query_id"), F.col("vec").alias("qv"), "bucket")
+    if multiprobe:
+        variants = F.array(
+            F.col("bucket"),
+            *[F.col("bucket").bitwiseXOR(F.lit(1 << b))
+              for b in range(n_bits)])
+        probes = probes.select(
+            "query_id", "qv", F.explode(variants).alias("bucket"))
     cands = probes.join(
         base.select(F.col("id").alias("neighbor_id"),
                     F.col("vec").alias("nv"), "bucket"),
