@@ -143,7 +143,8 @@ def read_entity_labels(spark: SparkSession, labels_path: str,
         F.max_by("entity_id", "batch").alias("entity_id"))
 
 
-def compact_entity_labels(spark: SparkSession, labels_path: str) -> int:
+def compact_entity_labels(spark: SparkSession, labels_path: str,
+                          before_batch: int | None = None) -> int:
     """Fold the accumulated per-batch update partitions into the latest
     batch partition as a full snapshot, then drop the older partitions.
     Returns the number of partitions dropped.
@@ -154,14 +155,21 @@ def compact_entity_labels(spark: SparkSession, labels_path: str) -> int:
     WRITTEN FIRST (into the max-batch partition, whose rows it
     supersets — resolve semantics are unchanged by the overwrite), old
     partitions are deleted after; a crash in between leaves extra
-    partitions whose content the snapshot subsumes, still correct."""
+    partitions whose content the snapshot subsumes, still correct.
+
+    ``before_batch`` restricts the fold to partitions strictly below
+    that batch id. REQUIRED when compacting from inside a running
+    stream (pass the current batch id): folding the in-flight batch's
+    own partition into the snapshot would break retry idempotence — a
+    retried batch re-reads labels EXCLUDING its own partition, which
+    after an unrestricted fold would hold the entire history."""
     df = _read_batch_parts(spark, labels_path,
-                           "doc_id string, entity_id string")
+                           "doc_id string, entity_id string", before_batch)
     row = df.agg(F.max("batch").alias("m")).first()
     if row["m"] is None:
         return 0
     max_batch = int(row["m"])
-    resolved = read_entity_labels(spark, labels_path)
+    resolved = read_entity_labels(spark, labels_path, before_batch)
     # materialize BEFORE any rewrite: the snapshot derives from the
     # partitions about to be replaced/deleted
     resolved = resolved.localCheckpoint(eager=True)
@@ -232,7 +240,8 @@ def incremental_entities(
     bands: int = 6,
     shingle_n: int = 3,
     backend_factory=SurrogateBackend,
-) -> None:
+    compact_every: int | None = None,
+) -> list:
     """Continuous ER with LIVE entity labels: drain the doc stream; per
     micro-batch serialize, band-key, candidate-join against everything
     seen so far (earlier batches' band index), score, then merge the
@@ -252,7 +261,17 @@ def incremental_entities(
     After the drain, ``read_entity_labels(spark, f"{work_dir}/labels")``
     equals the batch pipeline's labels over the same corpus and the
     same (band-bucket) candidate generation — asserted by
-    tests/test_incremental_entities.py."""
+    tests/test_incremental_entities.py.
+
+    ``compact_every=K`` folds the label update history into one
+    snapshot partition every K batches (``compact_entity_labels``,
+    crash-safe), keeping the per-batch label resolve at O(K) partitions
+    instead of O(batches seen) — without it a long-lived stream's
+    resolve scans the entire update history every micro-batch.
+
+    Returns the streaming query's recentProgress list (per-batch
+    durationMs etc.) for latency diagnostics — tools/stream_bench.py
+    reads triggerExecution per batch from it."""
 
     def process(batch: DataFrame, batch_id: int) -> None:
         ser = (batch.withColumn(
@@ -300,6 +319,12 @@ def incremental_entities(
             f"{work_dir}/docs/batch={batch_id}")
         (keys_new.select("id", "block_key").write.mode("overwrite")
          .parquet(f"{work_dir}/index/batch={batch_id}"))
+        if compact_every and (batch_id + 1) % compact_every == 0:
+            # before_batch=batch_id: fold only COMPLETED batches — a
+            # retried batch re-reads labels excluding its own partition,
+            # so the in-flight partition must never enter the snapshot
+            compact_entity_labels(spark, f"{work_dir}/labels",
+                                  before_batch=batch_id)
 
     q = (
         stream_docs.writeStream.foreachBatch(process)
@@ -308,3 +333,4 @@ def incremental_entities(
         .start()
     )
     q.awaitTermination()
+    return q.recentProgress

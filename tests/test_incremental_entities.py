@@ -142,3 +142,75 @@ def test_compact_entity_labels(spark, tmp_path):
     assert compact_entity_labels(spark, lp) == 0
     # empty dir: graceful 0
     assert compact_entity_labels(spark, str(tmp_path / "nope")) == 0
+
+
+def test_streamed_labels_with_inline_compaction(spark, tmp_path):
+    """compact_every folds label history mid-stream without changing
+    the resolved labels (still equal to the batch pipeline), and the
+    final history is bounded by the compaction cadence."""
+    import os
+
+    from ditto_spark.schema import DOC_SCHEMA
+    from ditto_spark.streaming.incremental_er import (incremental_entities,
+                                                      read_entity_labels)
+    from ditto_spark.synth import docs_df
+
+    docs = docs_df(spark, n_entities=15, seed=29)
+    rows = docs.collect()
+    src = str(tmp_path / "in")
+    fifth = (len(rows) + 4) // 5
+    for i in range(5):
+        chunk = [(r.doc_id,
+                  [(s.kind, s.text, s.media_ref, s.offset)
+                   for s in r.spans])
+                 for r in rows[i * fifth:(i + 1) * fifth]]
+        if not chunk:
+            continue
+        (spark.createDataFrame(chunk, DOC_SCHEMA).coalesce(1)
+         .write.mode("append").parquet(src))
+
+    stream = (spark.readStream.schema(DOC_SCHEMA)
+              .option("maxFilesPerTrigger", 1).parquet(src))
+    wd, ck = str(tmp_path / "work"), str(tmp_path / "ck")
+    progress = incremental_entities(spark, stream, wd, ck, compact_every=2)
+    assert progress, "recentProgress surfaced for latency diagnostics"
+
+    got = {r["doc_id"]: r["entity_id"]
+           for r in read_entity_labels(spark, f"{wd}/labels").collect()}
+    want = _batch_oracle_labels(spark, docs)
+    assert got == want
+    # 5 batches with compact_every=2: folds ran inside batches 1 and 3
+    # (each excluding the in-flight partition), so the surviving label
+    # history is bounded, not one partition per batch
+    parts = [p for p in os.listdir(f"{wd}/labels") if p.startswith("batch=")]
+    assert len(parts) < 5, parts
+
+
+def test_compact_before_batch_preserves_inflight(spark, tmp_path):
+    """before_batch compaction folds only completed batches: the
+    in-flight partition survives untouched, and a retry-style read that
+    excludes it still resolves the full prior history."""
+    from ditto_spark.streaming.incremental_er import (compact_entity_labels,
+                                                      read_entity_labels)
+
+    lp = str(tmp_path / "labels")
+    spark.createDataFrame([("a", "a")], "doc_id string, entity_id string"
+                          ).write.parquet(f"{lp}/batch=0")
+    spark.createDataFrame([("b", "b")], "doc_id string, entity_id string"
+                          ).write.parquet(f"{lp}/batch=1")
+    # batch 2 is in flight (partial write already landed)
+    spark.createDataFrame([("c", "c")], "doc_id string, entity_id string"
+                          ).write.parquet(f"{lp}/batch=2")
+    dropped = compact_entity_labels(spark, lp, before_batch=2)
+    assert dropped == 1  # batch=0 folded into batch=1; batch=2 untouched
+    import os
+    assert sorted(p for p in os.listdir(lp) if p.startswith("batch=")) == [
+        "batch=1", "batch=2"]
+    # a RETRY of batch 2 reads labels excluding its own partition and
+    # must still see the full completed history
+    retry_view = {r["doc_id"]: r["entity_id"] for r in read_entity_labels(
+        spark, lp, before_batch=2).collect()}
+    assert retry_view == {"a": "a", "b": "b"}
+    full = {r["doc_id"]: r["entity_id"] for r in read_entity_labels(
+        spark, lp).collect()}
+    assert full == {"a": "a", "b": "b", "c": "c"}
