@@ -101,6 +101,28 @@ def sn_key(text_col: str = "text"):
     return F.concat_ws(" ", F.slice(toks, 2, 3))
 
 
+class _Stages(dict):
+    """Pipeline result dict with DEFERRED tail stages.
+
+    Connected components is a driver-side iteration loop — merely
+    CONSTRUCTING the entities DataFrame runs the whole clustering job,
+    so a caller that only consumes ``out["scored"]`` (e.g. the
+    er_pipeline_matches driver entry, or any match-export workflow)
+    must not pay for CC it never reads. Deferral is free for consumers:
+    the deferred builder closes over the already-materialized scored
+    checkpoint, so first access computes exactly what the eager path
+    would have, once, and caches the frame in the dict."""
+
+    def __init__(self, eager: dict, deferred: dict):
+        super().__init__(eager)
+        self._deferred = deferred
+
+    def __getitem__(self, key):
+        if key not in self and key in self._deferred:
+            self[key] = self._deferred.pop(key)()
+        return super().__getitem__(key)
+
+
 def run_pipeline(
     spark: SparkSession,
     docs: DataFrame,
@@ -218,18 +240,23 @@ def run_pipeline(
 
     # 4. transitive clustering
     fp_ent = fingerprint_of("cluster", fp_scored)
-    entities = ck(
-        "entities", fp_ent,
-        lambda: assign_entities(docs.select("doc_id"), scored),
-    )
 
-    return {
+    def build_entities() -> DataFrame:
+        return ck("entities", fp_ent,
+                  lambda: assign_entities(docs.select("doc_id"), scored))
+
+    eager = {
         "serialized": serialized,
         "candidates": candidates,
         "scored": scored,
         "matches": matches,
-        "entities": entities,
     }
+    if store is not None:
+        # resumability contract: a store-backed run persists EVERY
+        # stage (the CLI/cluster path) — keep entities eager
+        eager["entities"] = build_entities()
+        return _Stages(eager, {})
+    return _Stages(eager, {"entities": build_entities})
 
 
 def _preprocess(spark: SparkSession, docs: DataFrame,
