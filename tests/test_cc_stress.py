@@ -42,6 +42,29 @@ def test_cc_long_chain_and_random_graph(spark):
     oracle = _union_find(edges)
 
     df = spark.createDataFrame(edges, "src string, dst string")
+    # small-graph route (driver union-find)
     got = {r.doc_id: r.entity_id
            for r in connected_components(df, max_iter=30).collect()}
     assert got == oracle
+    # distributed alternating-star route must agree exactly
+    dist = {r.doc_id: r.entity_id
+            for r in connected_components(
+                df, max_iter=30, small_graph_threshold=None).collect()}
+    assert dist == oracle
+
+def test_cc_small_graph_routing_boundary(spark):
+    """threshold below the edge count forces the distributed path;
+    both routes produce identical labels, and types are preserved."""
+    edges = [("b", "a"), ("d", "c"), ("c", "b"), ("f", "e")]
+    df = spark.createDataFrame(edges, "src string, dst string")
+    want = {"a": "a", "b": "a", "c": "a", "d": "a", "e": "e", "f": "e"}
+    small = {r.doc_id: r.entity_id for r in connected_components(
+        df, small_graph_threshold=100).collect()}
+    dist = {r.doc_id: r.entity_id for r in connected_components(
+        df, small_graph_threshold=2).collect()}  # 4 canon edges > 2
+    assert small == want and dist == want
+    # long-typed ids survive the driver route with their type
+    ldf = spark.createDataFrame([(2, 1), (3, 2)], "src long, dst long")
+    out = connected_components(ldf)
+    assert dict(out.collect()) == {1: 1, 2: 1, 3: 1}
+    assert dict(out.dtypes)["doc_id"] == "bigint"

@@ -31,7 +31,8 @@ def test_cc_reliable_restores_unset_dir(spark, tmp_path):
     labels = {r["doc_id"]: r["entity_id"]
               for r in connected_components(
                   _edges(spark, [("b", "a"), ("c", "b")]),
-                  checkpoint_dir=ck).collect()}
+                  checkpoint_dir=ck,
+                  small_graph_threshold=None).collect()}
     assert labels == {"a": "a", "b": "a", "c": "a"}
     assert _get_ckpt_dir(spark) is None
     # the run's cc-<uuid> subdir is gone (parent may remain, empty)
@@ -53,10 +54,12 @@ def test_cc_reliable_two_runs_different_dirs(spark, tmp_path):
 
     ck1, ck2 = str(tmp_path / "cc_1"), str(tmp_path / "cc_2")
     l1 = connected_components(_edges(spark, [("y", "x")]),
-                              checkpoint_dir=ck1)
+                              checkpoint_dir=ck1,
+                              small_graph_threshold=None)
     assert _get_ckpt_dir(spark) == mine  # restored between runs
     l2 = connected_components(_edges(spark, [("q", "p"), ("r", "q")]),
-                              checkpoint_dir=ck2)
+                              checkpoint_dir=ck2,
+                              small_graph_threshold=None)
     assert {r["entity_id"] for r in l1.collect()} == {"x"}
     assert {r["entity_id"] for r in l2.collect()} == {"p"}
     assert _get_ckpt_dir(spark) == mine
@@ -81,7 +84,8 @@ def test_cc_reliable_cleanup_on_failure(spark, tmp_path, monkeypatch):
     ck = str(tmp_path / "cc_fail")
     with pytest.raises(RuntimeError, match="mid-iteration"):
         clustering.connected_components(
-            _edges(spark, [("b", "a")]), checkpoint_dir=ck)
+            _edges(spark, [("b", "a")]), checkpoint_dir=ck,
+            small_graph_threshold=None)
     assert _get_ckpt_dir(spark) is None
     assert not os.path.exists(ck) or os.listdir(ck) == []
 
