@@ -880,6 +880,46 @@ def _ann_lsh_multiprobe_oracle_sql(n_bits: int = 8, k: int = 5) -> str:
     """
 
 
+def _sim_near_dups_lsh(spark, sf_dir):
+    """Embedding near-dup SCALE path: RP-LSH bucket join (multiprobe
+    Hamming-1) + exact cosine filter — one equi-join on bucket id where
+    sim_near_dups (the audit baseline) crosses all pairs. The oracle
+    reproduces bucketing + probing + dedupe portably from the md5 sign
+    recipe."""
+    from ditto_spark.operators.similarity import embedding_near_dups_lsh
+
+    e = _t(spark, sf_dir, "embeddings")
+    return embedding_near_dups_lsh(e, threshold=0.45, n_bits=8, dim=64,
+                                   multiprobe=True)
+
+
+def _near_dups_lsh_oracle_sql(n_bits: int = 8,
+                              threshold: float = 0.45) -> str:
+    bucket = " + ".join(
+        f"(CASE WHEN ({_rp_proj_sql(b)}) > 0 THEN {2 ** b} ELSE 0 END)"
+        for b in range(n_bits))
+    masks = ", ".join(["(0)"] + [f"({1 << b})" for b in range(n_bits)])
+    return f"""
+        WITH bkt AS (
+          SELECT vec_id, embedding, ({bucket}) AS bucket
+          FROM embeddings),
+        probes AS (
+          SELECT vec_id, embedding, xor(bucket, m.mask) AS bucket
+          FROM bkt, (VALUES {masks}) AS m(mask)),
+        pairs AS (
+          SELECT DISTINCT a.vec_id AS left_id, b.vec_id AS right_id
+          FROM probes a JOIN bkt b ON a.bucket = b.bucket
+          WHERE a.vec_id < b.vec_id),
+        scored AS (
+          SELECT p.left_id, p.right_id, {_COS} AS cosine
+          FROM pairs p
+          JOIN embeddings a ON a.vec_id = p.left_id
+          JOIN embeddings b ON b.vec_id = p.right_id)
+        SELECT left_id, right_id, cosine
+        FROM scored WHERE cosine >= {threshold}
+    """
+
+
 def _er_incremental_entities(spark, sf_dir):
     """§2.8 streaming, entity tail (engine addition; the reference is
     batch-only): stream 200 docs in 3 micro-batches through
@@ -989,6 +1029,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "er_incremental_entities": _er_incremental_entities,
         "sim_ann_lsh": _sim_ann_lsh,
         "sim_ann_lsh_multiprobe": _sim_ann_lsh_multiprobe,
+        "sim_near_dups_lsh": _sim_near_dups_lsh,
     }
 
 
@@ -1682,6 +1723,7 @@ def oracle_sql() -> dict[str, str]:
         "dedup_ngram_jaccard_capped": _ngram_capped_oracle_sql(),
         "sim_ann_lsh": _ann_lsh_oracle_sql(),
         "sim_ann_lsh_multiprobe": _ann_lsh_multiprobe_oracle_sql(),
+        "sim_near_dups_lsh": _near_dups_lsh_oracle_sql(),
     }
 
 

@@ -322,6 +322,50 @@ def ivf_topk(
     )
 
 
+def embedding_near_dups_lsh(
+    emb: DataFrame,
+    threshold: float = 0.45,
+    n_bits: int = 8,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    dim: int | None = None,
+    multiprobe: bool = True,
+) -> DataFrame:
+    """Near-duplicate pairs (cosine >= threshold) via RP-LSH bucketing —
+    the SCALE path for dedup.embedding_near_dups' brute-force baseline:
+    one equi-join on bucket id instead of an all-pairs cross.
+    Approximate by construction: only pairs whose sketches land in the
+    same bucket (or, with ``multiprobe``, within Hamming distance 1)
+    are examined — a near-dup split by >=2 hyperplanes is missed, the
+    recall/cost dial being n_bits and probing. Multiprobe emits each
+    qualifying pair from up to two probe directions, so pairs are
+    canonicalized (left < right) and deduped. Pass ``dim`` for the
+    vectorized sign-matrix bucketing (see rp_lsh_buckets)."""
+    base = rp_lsh_buckets(emb, n_bits, id_col, vec_col, dim)
+    probes = base.select(F.col("id").alias("left_id"),
+                         F.col("vec").alias("va"), "bucket")
+    if multiprobe:
+        variants = F.array(
+            F.col("bucket"),
+            *[F.col("bucket").bitwiseXOR(F.lit(1 << b))
+              for b in range(n_bits)])
+        probes = probes.select(
+            "left_id", "va", F.explode(variants).alias("bucket"))
+    cands = (
+        probes.join(base.select(F.col("id").alias("right_id"),
+                                F.col("vec").alias("vb"), "bucket"),
+                    "bucket")
+        .filter(F.col("left_id") < F.col("right_id"))
+        .dropDuplicates(["left_id", "right_id"])
+    )
+    return (
+        cands.withColumn("cosine",
+                         F.round(cosine(F.col("va"), F.col("vb")), 6))
+        .filter(F.col("cosine") >= threshold)
+        .select("left_id", "right_id", "cosine")
+    )
+
+
 def ann_topk_lsh(
     emb: DataFrame,
     queries: DataFrame,

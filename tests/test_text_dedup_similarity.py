@@ -294,3 +294,39 @@ def test_ann_lsh_multiprobe_recall(spark):
         (F.col("x.query_id") == F.col("e.query_id"))
         & (F.col("x.neighbor_id") == F.col("e.neighbor_id")))
     assert joined.filter(F.col("x.cosine") != F.col("e.cosine")).count() == 0
+
+
+def test_embedding_near_dups_lsh_subset_and_recall(spark):
+    """The LSH near-dup path returns a SUBSET of the brute-force pairs
+    with identical cosines, and near-identical vectors (the dedup
+    target population) are recovered: a 0.999-cosine pair flips a
+    hyperplane only on a knife edge, so Hamming<=1 probing catches it."""
+    import random
+
+    from ditto_spark.operators.dedup import embedding_near_dups
+    from ditto_spark.operators.similarity import embedding_near_dups_lsh
+
+    rng = random.Random(23)
+    dim = 16
+    base = [[rng.gauss(0, 1) for _ in range(dim)] for _ in range(60)]
+    rows = [(i, v) for i, v in enumerate(base)]
+    # 10 near-identical copies (tiny perturbation)
+    rows += [(100 + i, [x + rng.gauss(0, 0.01) for x in base[i]])
+             for i in range(10)]
+    df = spark.createDataFrame(rows, "vec_id int, embedding array<double>")
+    exact = {(r.left_id, r.right_id): r.cosine for r in
+             embedding_near_dups(df, threshold=0.95).collect()}
+    lsh = {(r.left_id, r.right_id): r.cosine for r in
+           embedding_near_dups_lsh(df, threshold=0.95, n_bits=8,
+                                   multiprobe=True).collect()}
+    assert set(lsh) <= set(exact)
+    for k, v in lsh.items():
+        assert v == exact[k]
+    # every planted 0.999-dup pair recovered
+    planted = {(i, 100 + i) for i in range(10) if (i, 100 + i) in exact}
+    assert planted and planted <= set(lsh)
+    # vectorized bucketing agrees with the expression path end-to-end
+    lsh_np = {(r.left_id, r.right_id): r.cosine for r in
+              embedding_near_dups_lsh(df, threshold=0.95, n_bits=8,
+                                      dim=dim, multiprobe=True).collect()}
+    assert lsh_np == lsh
