@@ -26,6 +26,18 @@ from ditto_spark.operators.scoring import SurrogateBackend, score_pairs
 from ditto_spark.operators.serialize import serialize_spans
 
 
+# Number of band-hash partitions in the on-disk corpus index. Per
+# micro-batch, probes read only the partitions their band keys hash
+# into (parquet directory pruning) — at design scale a batch touches
+# min(|batch| x bands, N_INDEX_BUCKETS) partitions of a 10^12-row
+# index instead of scanning it.
+N_INDEX_BUCKETS = 64
+
+
+def _bk_bucket(n_buckets: int = N_INDEX_BUCKETS):
+    return F.pmod(F.xxhash64("block_key"), F.lit(n_buckets)).cast("int")
+
+
 def build_corpus_index(
     corpus_docs: DataFrame,
     path: str,
@@ -34,7 +46,8 @@ def build_corpus_index(
     shingle_n: int = 3,
 ) -> None:
     """Materialize (band block_key, doc_id, text) for the static corpus,
-    bucketed for the incremental join."""
+    PARTITIONED by band-key hash (``bk_bucket``) so incremental probes
+    prune to their own partitions."""
     ser = corpus_docs.withColumn(
         "text", serialize_spans(F.col("spans"), drop_empty=True))
     keys = minhash_band_buckets(ser, "doc_id", "text", n_hashes, bands,
@@ -42,8 +55,9 @@ def build_corpus_index(
     (keys.join(ser.select("doc_id", "text").withColumnRenamed("doc_id", "id"),
                "id")
      .select(F.col("id").alias("corpus_id"),
-             F.col("text").alias("corpus_text"), "block_key")
-     .write.mode("overwrite").parquet(path))
+             F.col("text").alias("corpus_text"), "block_key",
+             _bk_bucket().alias("bk_bucket"))
+     .write.mode("overwrite").partitionBy("bk_bucket").parquet(path))
 
 
 def incremental_matches(
@@ -60,14 +74,23 @@ def incremental_matches(
 ) -> None:
     """Drain the doc stream, matching each micro-batch against the
     corpus index; (new_id, corpus_id, match, match_confidence) appended
-    to ``out_path``. availableNow trigger → deterministic drains."""
-    index = spark.read.parquet(index_path)
+    to ``out_path``. availableNow trigger → deterministic drains.
+
+    Per batch, the index read is FILTERED to the probe side's
+    ``bk_bucket`` set (bounded: min(|batch| x bands, N_INDEX_BUCKETS)
+    literal values) — the scan prunes to those parquet partitions, so
+    batch cost scales with the batch, not the corpus."""
 
     def process(batch: DataFrame, batch_id: int) -> None:
         ser = batch.withColumn(
             "text", serialize_spans(F.col("spans"), drop_empty=True))
         keys = minhash_band_buckets(ser, "doc_id", "text", n_hashes,
-                                    bands, shingle_n)
+                                    bands, shingle_n).localCheckpoint()
+        buckets = [r[0] for r in
+                   keys.select(_bk_bucket().alias("b")).distinct().collect()]
+        index = (spark.read.parquet(index_path)
+                 .filter(F.col("bk_bucket").isin(buckets))
+                 .drop("bk_bucket"))
         probes = keys.join(
             ser.select(F.col("doc_id").alias("id"), "text"), "id")
         cands = (
@@ -252,7 +275,9 @@ def incremental_entities(
     current batch id):
 
       docs/batch=N    (doc_id, text)            serialized arrivals
-      index/batch=N   (id, block_key)           MinHash band index
+      index/batch=N/bk_bucket=H (id, block_key)  MinHash band index,
+                                                partitioned by band-key
+                                                hash for probe pruning
       matches/batch=N (left_id, right_id, ...)  scored decisions
       labels/batch=N  (doc_id, entity_id)       label UPDATES (affected
                                                 docs only; resolve with
@@ -279,10 +304,19 @@ def incremental_entities(
             .select(F.col("doc_id").cast("string").alias("doc_id"), "text")
             .localCheckpoint(eager=True))
         keys_new = minhash_band_buckets(ser, "doc_id", "text", n_hashes,
-                                        bands, shingle_n)
-        keys_prior = _read_batch_parts(
-            spark, f"{work_dir}/index", "id string, block_key string",
-            before_batch=batch_id).select("id", "block_key")
+                                        bands, shingle_n).localCheckpoint()
+        # prune the accumulated index read to the partitions this
+        # batch's band keys hash into: bounded literal IN-filter ->
+        # parquet directory pruning, so the join input scales with the
+        # batch's bucket set, not the full index history
+        buckets = [r[0] for r in keys_new.select(
+            _bk_bucket().alias("b")).distinct().collect()]
+        keys_prior = (_read_batch_parts(
+            spark, f"{work_dir}/index",
+            "id string, block_key string, bk_bucket int",
+            before_batch=batch_id)
+            .filter(F.col("bk_bucket").isin(buckets))
+            .select("id", "block_key"))
         all_keys = keys_prior.unionByName(keys_new.select("id", "block_key"))
         # probes = this batch only; join against everything seen so far
         # (incl. this batch: new-new pairs). Canonical orientation +
@@ -317,7 +351,8 @@ def incremental_entities(
             f"{work_dir}/labels/batch={batch_id}")
         ser.write.mode("overwrite").parquet(
             f"{work_dir}/docs/batch={batch_id}")
-        (keys_new.select("id", "block_key").write.mode("overwrite")
+        (keys_new.select("id", "block_key", _bk_bucket().alias("bk_bucket"))
+         .write.mode("overwrite").partitionBy("bk_bucket")
          .parquet(f"{work_dir}/index/batch={batch_id}"))
         if compact_every and (batch_id + 1) % compact_every == 0:
             # before_batch=batch_id: fold only COMPLETED batches — a
