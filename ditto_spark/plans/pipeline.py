@@ -111,16 +111,43 @@ class _Stages(dict):
     must not pay for CC it never reads. Deferral is free for consumers:
     the deferred builder closes over the already-materialized scored
     checkpoint, so first access computes exactly what the eager path
-    would have, once, and caches the frame in the dict."""
+    would have, once, and caches the frame in the dict.
+
+    Deferred keys stay visible to every dict protocol (``in``, ``get``,
+    ``keys``, ``len``) without triggering the build; only value access
+    (``[]``, ``items``, ``values``) computes them — so a caller that
+    inspects the result shape pays nothing, and one that iterates values
+    gets exactly what an eager dict would have held."""
 
     def __init__(self, eager: dict, deferred: dict):
         super().__init__(eager)
         self._deferred = deferred
 
     def __getitem__(self, key):
-        if key not in self and key in self._deferred:
+        if not super().__contains__(key) and key in self._deferred:
             self[key] = self._deferred.pop(key)()
         return super().__getitem__(key)
+
+    def __contains__(self, key):
+        return super().__contains__(key) or key in self._deferred
+
+    def __len__(self):
+        return super().__len__() + len(self._deferred)
+
+    def get(self, key, default=None):
+        return self[key] if key in self else default
+
+    def keys(self):
+        return list(super().keys()) + list(self._deferred.keys())
+
+    def __iter__(self):
+        return iter(self.keys())
+
+    def items(self):
+        return [(k, self[k]) for k in self.keys()]
+
+    def values(self):
+        return [self[k] for k in self.keys()]
 
 
 def run_pipeline(

@@ -174,3 +174,31 @@ def test_checkpoint_state_partition_pure():
 
     assert unwrap_checkpoint_state({"model": sd, "epoch": 3}) is sd
     assert unwrap_checkpoint_state(sd) is sd
+
+
+def test_stages_dict_protocols():
+    """_Stages exposes deferred keys through every dict protocol:
+    `in`/`keys`/`len` see them without building; `get`/`items`/`values`
+    build on demand; a forced key builds exactly once."""
+    from ditto_spark.plans.pipeline import _Stages
+
+    calls = {"n": 0}
+
+    def build():
+        calls["n"] += 1
+        return "ENTITIES"
+
+    s = _Stages({"matches": "M"}, {"entities": build})
+    assert "entities" in s and "matches" in s
+    assert sorted(s.keys()) == ["entities", "matches"]
+    assert sorted(s) == ["entities", "matches"]
+    assert len(s) == 2
+    assert calls["n"] == 0          # shape inspection is free
+    assert s.get("missing") is None
+    assert s.get("entities") == "ENTITIES"
+    assert calls["n"] == 1
+    assert s["entities"] == "ENTITIES"
+    assert calls["n"] == 1          # cached after first build
+    assert dict(s.items()) == {"matches": "M", "entities": "ENTITIES"}
+    assert sorted(s.values()) == ["ENTITIES", "M"]
+    assert calls["n"] == 1
