@@ -117,16 +117,16 @@ def connected_components(
     leak), and concurrent reliable-mode runs in one process serialize on
     a module lock so neither can redirect the other's checkpoints into a
     directory that is about to be deleted."""
-    # materialize the canonical edge set exactly ONCE: every downstream
-    # path re-reads it (the size probe, the driver collect, or round 0
-    # of the iteration) — without this the probe and the consumer each
-    # re-ran the full upstream edge-generation DAG (measured 2x the
-    # whole cluster_cc entry at sf0.1)
-    canon = _canon(edges).localCheckpoint(eager=True)
-    if small_graph_threshold is not None:
-        if canon.count() <= small_graph_threshold:
-            return _cc_driver_union_find(canon)
     if checkpoint_dir is None:
+        # materialize the canonical edge set exactly ONCE: every
+        # downstream path re-reads it (the size probe, the driver
+        # collect, or round 0 of the iteration) — without this the probe
+        # and the consumer each re-ran the full upstream edge-generation
+        # DAG (measured 2x the whole cluster_cc entry at sf0.1)
+        canon = _canon(edges).localCheckpoint(eager=True)
+        if small_graph_threshold is not None:
+            if canon.count() <= small_graph_threshold:
+                return _cc_driver_union_find(canon)
         # canon is already a localCheckpoint: round 0 needs no re-cut
         return _cc_run(canon, max_iter,
                        lambda df: df.localCheckpoint(eager=True),
@@ -145,8 +145,21 @@ def connected_components(
         cleanup_dir = f"{checkpoint_dir.rstrip('/')}/cc-{uuid.uuid4().hex}"
         sc.setCheckpointDir(cleanup_dir)
         try:
+            # RELIABLE cut of the canonical edge set (ADVICE r4): in
+            # reliable mode the single materialization must itself be
+            # recoverable — a localCheckpoint here would make executor-
+            # local blocks the only source for the size probe and round
+            # 0, so one executor loss in that window would strand the
+            # job the reliable store exists to protect.
+            canon = _canon(edges).checkpoint(eager=True)
+            if small_graph_threshold is not None:
+                if canon.count() <= small_graph_threshold:
+                    # union-find result is driver-local rows —
+                    # independent of the about-to-be-deleted subdir
+                    return _cc_driver_union_find(canon)
             labels = _cc_run(canon, max_iter,
-                             lambda df: df.checkpoint(eager=True))
+                             lambda df: df.checkpoint(eager=True),
+                             input_truncated=True)
             # materialize the O(nodes) label table BEFORE the finally
             # deletes the per-round edge copies it derives from (the
             # caller should persist labels promptly — the iterations,
@@ -221,9 +234,10 @@ def _cc_run(edges: DataFrame, max_iter: int, _truncate,
     per-round lineage cut (local or reliable checkpoint). ``edges`` must
     already be canonical (_canon output) — connected_components
     canonicalizes exactly once. ``input_truncated=True`` skips the
-    round-0 cut when the input is already materialized (local mode;
-    reliable mode still writes round 0 to the reliable store so
-    recovery never replays raw edge generation)."""
+    round-0 cut when the input is already materialized with the SAME
+    durability class the iteration uses (localCheckpoint in local mode,
+    reliable .checkpoint in reliable mode — so recovery never replays
+    raw edge generation either way)."""
     from ditto_spark.operators.hashing import porthash
 
     def _fingerprint(e: DataFrame) -> tuple:

@@ -139,7 +139,10 @@ def wordpiece_len_fn(
                     break
                 end -= 1
             if found is None:
-                return pieces + 1  # [UNK] swallows the rest of the word
+                # HF WordpieceTokenizer's is_bad path: ANY unmatchable
+                # remainder makes the WHOLE word a single [UNK] — the
+                # already-matched prefix pieces are discarded (ADVICE r4)
+                return 1
             pieces += 1
             start = found
         return pieces

@@ -134,7 +134,9 @@ def test_wordpiece_factory_semantics():
     # a custom vocab drops in (real LM vocab.txt format)
     tiny = wordpiece_len_fn({"ab", "##cd"})
     assert tiny("abcd") == 2
-    assert tiny("abx") == 2               # ab + [UNK] remainder
+    # HF is_bad semantics: an unmatchable remainder makes the WHOLE word
+    # one [UNK] — matched prefix pieces are discarded (ADVICE r4)
+    assert tiny("abx") == 1
 
 
 def test_summarizer_budget_with_wordpiece_len_fn(spark):
