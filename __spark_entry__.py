@@ -810,11 +810,15 @@ def _sim_ann_lsh(spark, sf_dir):
 
 
 def _rp_proj_sql(b: int) -> str:
+    # exact int64 quantized projection — mirrors similarity.RP_QUANT
+    # (floor(v * 2^20) per element, integer sum): bit-identical to the
+    # engine regardless of summation order (ADVICE r4 knife-edge fix)
     sign = (f"CASE WHEN (('0x' || substr(md5('rp{b}_' || "
             f"CAST(i AS VARCHAR)), 1, 15))::BIGINT) % 2 = 0 "
-            f"THEN 1.0 ELSE -1.0 END")
+            f"THEN 1 ELSE -1 END")
     return (f"list_sum(list_transform(range(len(embedding)), "
-            f"i -> embedding[i+1]::DOUBLE * ({sign})))")
+            f"i -> floor(embedding[i+1]::DOUBLE * 1048576.0)::BIGINT"
+            f" * ({sign})))")
 
 
 def _ann_lsh_oracle_sql(n_bits: int = 8, k: int = 5) -> str:

@@ -79,21 +79,36 @@ def cosine_topk(
     )
 
 
+# Projections are bucketed on the sign of an EXACT int64 sum of
+# per-element quantized terms floor(v * 2^20): each term is one IEEE
+# double multiply + floor (bit-identical on any IEEE engine), and
+# integer addition is associative — so the bucket id is reproducible
+# across numpy, Spark expressions and SQL oracles regardless of
+# summation order. A float-double sum instead leaves a knife-edge: a
+# projection within 1 ulp of 0 can flip its sign bit between engines
+# that sum in different orders (ADVICE r4). 2^20 keeps |term| ≤ ~2^40
+# for |v| ≤ ~2^20, far from int64 overflow at any realistic dim.
+RP_QUANT = float(1 << 20)
+
+
 def _sign(seed: int, dim_idx: Column) -> Column:
-    """Deterministic ±1 from the portable hash of (seed, dim)."""
+    """Deterministic ±1 (as long) from the portable hash of (seed, dim)."""
     return F.when(
         porthash(F.concat(F.lit(f"rp{seed}_"), dim_idx.cast("string")))
         % 2 == 0,
-        F.lit(1.0),
-    ).otherwise(F.lit(-1.0))
+        F.lit(1),
+    ).otherwise(F.lit(-1)).cast("long")
 
 
 def rp_projection(vec: Column, seed: int) -> Column:
-    """Signed random-hyperplane projection: sum_i v[i] * sign(seed, i)."""
+    """Signed random-hyperplane projection over the QUANTIZED vector:
+    sum_i floor(v[i] * RP_QUANT) * sign(seed, i), exact in int64."""
     idx = F.sequence(F.lit(0), F.size(vec) - 1)
-    terms = F.zip_with(vec, idx,
-                       lambda v, i: v.cast("double") * _sign(seed, i))
-    return F.aggregate(terms, F.lit(0.0), lambda acc, x: acc + x)
+    terms = F.zip_with(
+        vec, idx,
+        lambda v, i: F.floor(v.cast("double") * F.lit(RP_QUANT))
+        * _sign(seed, i))
+    return F.aggregate(terms, F.lit(0).cast("long"), lambda acc, x: acc + x)
 
 
 def rp_sign_matrix(n_bits: int, dim: int) -> "np.ndarray":
@@ -103,11 +118,11 @@ def rp_sign_matrix(n_bits: int, dim: int) -> "np.ndarray":
     the JVM's conv(substring(md5(...)))."""
     import hashlib
 
-    s = np.empty((dim, n_bits), dtype=np.float64)
+    s = np.empty((dim, n_bits), dtype=np.int64)
     for b in range(n_bits):
         for i in range(dim):
             h = int(hashlib.md5(f"rp{b}_{i}".encode()).hexdigest()[:15], 16)
-            s[i, b] = 1.0 if h % 2 == 0 else -1.0
+            s[i, b] = 1 if h % 2 == 0 else -1
     return s
 
 
@@ -123,20 +138,22 @@ def rp_lsh_buckets(emb: DataFrame, n_bits: int = 8,
     per row. Passing ``dim`` (the embedding dimensionality) switches to
     ONE numpy matmul per Arrow batch against the broadcast ±1 sign
     matrix — the scale path, same family as the IVF assignment fix.
-    Signs are bit-identical between paths (rp_sign_matrix); projections
-    may differ by float summation order only, so a bucket can flip only
-    on a knife-edge |projection| ~ 1 ulp."""
+    BIT-IDENTICAL to the expression path and any SQL oracle: both
+    quantize each element to floor(v * RP_QUANT) and sum in int64, so
+    the sign — hence the bucket — is exact (no float-order knife edge;
+    ADVICE r4)."""
     if dim is not None:
         spark = emb.sparkSession
         bc = spark.sparkContext.broadcast(rp_sign_matrix(n_bits, dim))
-        powers = np.power(2.0, np.arange(n_bits))
+        powers = np.power(2, np.arange(n_bits), dtype=np.int64)
 
         @F.pandas_udf("long")
         def buckets(vs: pd.Series) -> pd.Series:
             if len(vs) == 0:
                 return pd.Series([], dtype="int64")
             v = np.asarray(vs.tolist(), dtype=np.float64)
-            proj = v @ bc.value
+            q = np.floor(v * RP_QUANT).astype(np.int64)
+            proj = q @ bc.value
             return pd.Series(((proj > 0) @ powers).astype("int64"),
                              index=vs.index)
 

@@ -241,15 +241,17 @@ def test_ivf_numpy_assignment_matches_literal(spark):
 
 def test_rp_lsh_numpy_buckets_match_expression(spark):
     """The vectorized sign-matrix bucketing equals the SQL-reproducible
-    expression path bit-for-bit on integer-valued vectors (sums exact in
-    float64 regardless of accumulation order, so no knife-edge flips)."""
+    expression path bit-for-bit on ARBITRARY float vectors: both paths
+    quantize each element to floor(v * RP_QUANT) and sum exactly in
+    int64, so the sign bits cannot diverge with summation order
+    (ADVICE r4 knife-edge fix)."""
     import random
 
     from ditto_spark.operators.similarity import rp_lsh_buckets
 
     rng = random.Random(11)
     dim = 16
-    rows = [(i, [float(rng.randint(-5, 5)) for _ in range(dim)])
+    rows = [(i, [rng.gauss(0, 1) for _ in range(dim)])
             for i in range(200)]
     df = spark.createDataFrame(rows, "vec_id int, embedding array<double>")
     expr = {r["id"]: r["bucket"]
