@@ -43,14 +43,18 @@ from ditto_spark.operators.scoring import SurrogateBackend, score_pairs
 from ditto_spark.operators.serialize import serialize_spans
 
 
-# Number of hash partitions in each on-disk incremental store (band
-# index, docs, labels, member index). Per micro-batch, reads prune to
-# the partitions their probe/candidate/touched keys hash into (parquet
-# directory pruning) — at design scale a batch touches
-# min(|touched keys|, N_INDEX_BUCKETS) partitions of a 10^12-row store
-# instead of scanning it. 64 keeps the bounded per-batch bucket-set
-# collects tiny here; a cluster deployment sizes this to the corpus
-# (e.g. 2^14) so each partition stays executor-memory-sized.
+# Default number of hash partitions in each on-disk incremental store
+# (band index, docs, labels, member index). Per micro-batch, reads
+# prune to the partitions their probe/candidate/touched keys hash into
+# (parquet directory pruning). The pruned read costs
+# |touched buckets| x (corpus / n_buckets), so O(batch) per micro-batch
+# requires the bucket count to be SIZED TO THE CORPUS (each partition
+# stays executor-memory-sized — e.g. 2^14 buckets at the 10^12-doc
+# design point); pass ``n_store_buckets`` to ``incremental_entities``/
+# ``incremental_matches`` accordingly. 64 keeps the bounded per-batch
+# bucket-set collects tiny at test scale. tools/stream_bench.py
+# --flatness evidences the O(batch) claim: per-batch latency is flat
+# across an 8x corpus with corpus-sized buckets.
 N_INDEX_BUCKETS = 64
 
 
@@ -63,13 +67,48 @@ def _bk_bucket(n_buckets: int = N_INDEX_BUCKETS):
     return _hash_bucket("block_key", n_buckets)
 
 
-def _bucket_values(df: DataFrame, col: str) -> list[int]:
+def _bucket_values(df: DataFrame, col: str,
+                   n_buckets: int = N_INDEX_BUCKETS) -> list[int]:
     """The DISTINCT hash buckets of ``df[col]`` — a bounded metadata
-    collect (<= N_INDEX_BUCKETS values, regardless of row count) that
+    collect (<= n_buckets values, regardless of row count) that
     becomes the literal IN-filter driving partition pruning."""
     return sorted(r[0] for r in
-                  df.select(_hash_bucket(col).alias("b")).distinct()
-                  .collect())
+                  df.select(_hash_bucket(col, n_buckets).alias("b"))
+                  .distinct().collect())
+
+
+def _check_bucket_meta(spark: SparkSession, store_dir: str,
+                       n_buckets: int) -> None:
+    """Pin the store's bucket count in a ``_n_buckets`` marker on first
+    write and REFUSE to run against a store written with a different
+    count: pruning filters hash with the caller's n_buckets, so reading
+    partitions laid out under another count would silently drop rows —
+    corrupt results, not an error. Cheap (one FS stat per stream
+    start-up is amortized; this runs per foreachBatch call, one
+    metadata read)."""
+    sc = spark.sparkContext
+    jvm = sc._jvm
+    hconf = sc._jsc.hadoopConfiguration()
+    root = jvm.org.apache.hadoop.fs.Path(store_dir)
+    fs = root.getFileSystem(hconf)
+    # the count is encoded in an empty marker DIRECTORY name (underscore
+    # prefix -> invisible to parquet partition discovery); name-encoding
+    # avoids stream IO and is atomic on every Hadoop FS
+    if fs.exists(root):
+        for status in fs.listStatus(root):
+            name = status.getPath().getName()
+            if name.startswith("_n_buckets="):
+                existing = int(name.split("=", 1)[1])
+                if existing != n_buckets:
+                    raise ValueError(
+                        f"store {store_dir} was written with n_buckets="
+                        f"{existing}; running with n_buckets={n_buckets} "
+                        "would prune to the wrong partitions and silently "
+                        "drop rows. Use the original count (or rebucket "
+                        "the store offline).")
+                return
+    fs.mkdirs(jvm.org.apache.hadoop.fs.Path(
+        f"{store_dir}/_n_buckets={n_buckets}"))
 
 
 def _in_buckets(col: str, buckets: list[int]) -> Column:
@@ -84,10 +123,14 @@ def build_corpus_index(
     n_hashes: int = 24,
     bands: int = 6,
     shingle_n: int = 3,
+    n_buckets: int = N_INDEX_BUCKETS,
 ) -> None:
     """Materialize (band block_key, doc_id, text) for the static corpus,
     PARTITIONED by band-key hash (``bk_bucket``) so incremental probes
-    prune to their own partitions."""
+    prune to their own partitions. Size ``n_buckets`` to the corpus
+    (each partition executor-memory-sized); the count is pinned in a
+    marker so a reader with a mismatched count fails fast instead of
+    pruning wrong."""
     ser = corpus_docs.withColumn(
         "text", serialize_spans(F.col("spans"), drop_empty=True))
     keys = minhash_band_buckets(ser, "doc_id", "text", n_hashes, bands,
@@ -96,8 +139,9 @@ def build_corpus_index(
                "id")
      .select(F.col("id").alias("corpus_id"),
              F.col("text").alias("corpus_text"), "block_key",
-             _bk_bucket().alias("bk_bucket"))
+             _bk_bucket(n_buckets).alias("bk_bucket"))
      .write.mode("overwrite").partitionBy("bk_bucket").parquet(path))
+    _check_bucket_meta(corpus_docs.sparkSession, path, n_buckets)
 
 
 def incremental_matches(
@@ -111,22 +155,26 @@ def incremental_matches(
     bands: int = 6,
     shingle_n: int = 3,
     backend_factory=SurrogateBackend,
+    n_store_buckets: int = N_INDEX_BUCKETS,
 ) -> None:
     """Drain the doc stream, matching each micro-batch against the
     corpus index; (new_id, corpus_id, match, match_confidence) appended
     to ``out_path``. availableNow trigger → deterministic drains.
 
     Per batch, the index read is FILTERED to the probe side's
-    ``bk_bucket`` set (bounded: min(|batch| x bands, N_INDEX_BUCKETS)
+    ``bk_bucket`` set (bounded: min(|batch| x bands, n_store_buckets)
     literal values) — the scan prunes to those parquet partitions, so
-    batch cost scales with the batch, not the corpus."""
+    batch cost scales with the batch, not the corpus.
+    ``n_store_buckets`` must equal the count the index was built with
+    (``build_corpus_index``'s marker enforces it)."""
 
     def process(batch: DataFrame, batch_id: int) -> None:
+        _check_bucket_meta(spark, index_path, n_store_buckets)
         ser = batch.withColumn(
             "text", serialize_spans(F.col("spans"), drop_empty=True))
         keys = minhash_band_buckets(ser, "doc_id", "text", n_hashes,
                                     bands, shingle_n).localCheckpoint()
-        buckets = _bucket_values(keys, "block_key")
+        buckets = _bucket_values(keys, "block_key", n_store_buckets)
         index = (spark.read.parquet(index_path)
                  .filter(_in_buckets("bk_bucket", buckets))
                  .drop("bk_bucket"))
@@ -222,7 +270,8 @@ def read_entity_labels(spark: SparkSession, labels_path: str,
 
 def compact_entity_labels(spark: SparkSession, labels_path: str,
                           before_batch: int | None = None,
-                          byent_path: str | None = None) -> int:
+                          byent_path: str | None = None,
+                          n_buckets: int = N_INDEX_BUCKETS) -> int:
     """Fold the accumulated per-batch update partitions into a full
     snapshot inside the latest batch partition, then drop the older
     partitions. Returns the number of partitions dropped.
@@ -264,15 +313,19 @@ def compact_entity_labels(spark: SparkSession, labels_path: str,
     resolved = resolved.localCheckpoint(eager=True)
     writer = resolved
     if bucketed:
-        writer = resolved.withColumn("doc_bucket", _hash_bucket("doc_id"))
-        (writer.write.mode("append").partitionBy("doc_bucket")
+        writer = resolved.withColumn(
+            "doc_bucket", _hash_bucket("doc_id", n_buckets))
+        (writer.repartition("doc_bucket")
+         .write.mode("append").partitionBy("doc_bucket")
          .parquet(f"{labels_path}/batch={max_batch}"))
     else:
         writer.write.mode("append").parquet(
             f"{labels_path}/batch={max_batch}")
     dropped = _drop_batches_below(spark, labels_path, max_batch)
     if byent_path is not None:
-        (resolved.withColumn("ent_bucket", _hash_bucket("entity_id"))
+        (resolved.withColumn("ent_bucket",
+                             _hash_bucket("entity_id", n_buckets))
+         .repartition("ent_bucket")
          .write.mode("append").partitionBy("ent_bucket")
          .parquet(f"{byent_path}/batch={max_batch}"))
         _drop_batches_below(spark, byent_path, max_batch)
@@ -299,7 +352,8 @@ def _drop_batches_below(spark: SparkSession, path: str,
 
 def touched_member_labels(spark: SparkSession, work_dir: str,
                           nodes: DataFrame,
-                          before_batch: int | None = None) -> DataFrame:
+                          before_batch: int | None = None,
+                          n_buckets: int = N_INDEX_BUCKETS) -> DataFrame:
     """Current (doc_id, entity_id) labels of every member of every
     entity touched by ``nodes`` — computed from PARTITION-PRUNED reads
     only, so the cost is O(touched), never O(corpus) (VERDICT r4 #1):
@@ -319,16 +373,16 @@ def touched_member_labels(spark: SparkSession, work_dir: str,
     row to byent under ent_bucket(e) — in the pruned set — so step 2's
     candidates are a superset of the true members and step 3's currency
     filter makes the result exact. Each step's bucket set is a bounded
-    metadata collect (<= N_INDEX_BUCKETS literal values)."""
+    metadata collect (<= n_buckets literal values)."""
     labels_path = f"{work_dir}/labels"
     byent_path = f"{work_dir}/labels_byent"
     nodes = nodes.select("doc_id").distinct().localCheckpoint(eager=True)
-    node_buckets = _bucket_values(nodes, "doc_id")
+    node_buckets = _bucket_values(nodes, "doc_id", n_buckets)
     node_labels = read_entity_labels(spark, labels_path, before_batch,
                                      doc_buckets=node_buckets)
     touched = (nodes.join(node_labels, "doc_id")
                .select("entity_id").distinct().localCheckpoint(eager=True))
-    ent_buckets = _bucket_values(touched, "entity_id")
+    ent_buckets = _bucket_values(touched, "entity_id", n_buckets)
     if not ent_buckets:
         return spark.createDataFrame([], "doc_id string, entity_id string")
     members_hist = (
@@ -338,7 +392,8 @@ def touched_member_labels(spark: SparkSession, work_dir: str,
         .filter(_in_buckets("ent_bucket", ent_buckets))
         .join(F.broadcast(touched), "entity_id", "left_semi"))
     member_buckets = sorted(
-        set(_bucket_values(members_hist, "doc_id")) | set(node_buckets))
+        set(_bucket_values(members_hist, "doc_id", n_buckets))
+        | set(node_buckets))
     current = read_entity_labels(spark, labels_path, before_batch,
                                  doc_buckets=member_buckets)
     return current.join(F.broadcast(touched), "entity_id", "left_semi")
@@ -397,6 +452,7 @@ def incremental_entities(
     shingle_n: int = 3,
     backend_factory=SurrogateBackend,
     compact_every: int | None = 16,
+    n_store_buckets: int = N_INDEX_BUCKETS,
 ) -> list:
     """Continuous ER with LIVE entity labels: drain the doc stream; per
     micro-batch serialize, band-key, candidate-join against everything
@@ -442,11 +498,18 @@ def incremental_entities(
     demonstrates bounded per-batch latency over 50+ batches). Pass
     ``None`` to disable.
 
+    ``n_store_buckets`` sizes the hash partitioning of every store;
+    O(batch) per micro-batch requires it sized to the corpus (pruned
+    read cost = |touched buckets| x corpus/n_store_buckets — see
+    N_INDEX_BUCKETS). A marker under ``work_dir`` pins the count; a
+    restart with a different value fails fast instead of pruning wrong.
+
     Returns the streaming query's recentProgress list (per-batch
     durationMs etc.) for latency diagnostics — tools/stream_bench.py
     reads triggerExecution per batch from it."""
 
     def process(batch: DataFrame, batch_id: int) -> None:
+        _check_bucket_meta(spark, work_dir, n_store_buckets)
         ser = (batch.withColumn(
             "text", serialize_spans(F.col("spans"), drop_empty=True))
             .select(F.col("doc_id").cast("string").alias("doc_id"), "text")
@@ -457,7 +520,7 @@ def incremental_entities(
         # batch's band keys hash into: bounded literal IN-filter ->
         # parquet directory pruning, so the join input scales with the
         # batch's bucket set, not the full index history
-        buckets = _bucket_values(keys_new, "block_key")
+        buckets = _bucket_values(keys_new, "block_key", n_store_buckets)
         keys_prior = (_read_batch_parts(
             spark, f"{work_dir}/index",
             "id string, block_key string, bk_bucket int",
@@ -487,7 +550,7 @@ def incremental_entities(
         # text scan per micro-batch (VERDICT r4 #1)
         cand_ids = cands.select(F.col("left_id").alias("doc_id")).unionByName(
             cands.select(F.col("right_id").alias("doc_id")))
-        cand_buckets = _bucket_values(cand_ids, "doc_id")
+        cand_buckets = _bucket_values(cand_ids, "doc_id", n_store_buckets)
         docs_prior = (_read_batch_parts(
             spark, f"{work_dir}/docs", "doc_id string, text string",
             before_batch=batch_id, partition_schema=", doc_bucket int")
@@ -510,20 +573,34 @@ def incremental_entities(
                  .unionByName(edges.select(F.col("dst").alias("doc_id")))
                  .unionByName(ser.select("doc_id")))
         labels = touched_member_labels(spark, work_dir, nodes,
-                                       before_batch=batch_id)
+                                       before_batch=batch_id,
+                                       n_buckets=n_store_buckets)
         updates = merge_entity_updates(labels, edges,
                                        new_docs=ser.select("doc_id")
                                        ).localCheckpoint(eager=True)
-        (updates.withColumn("doc_bucket", _hash_bucket("doc_id"))
+        # co-partition on the bucket column before every partitionBy
+        # write: one file per touched bucket instead of up to
+        # (tasks x buckets) shards — the store's file count stays
+        # O(touched buckets) per batch, which keeps partition discovery
+        # on the read side cheap as the stream ages
+        (updates.withColumn("doc_bucket",
+                            _hash_bucket("doc_id", n_store_buckets))
+         .repartition("doc_bucket")
          .write.mode("overwrite").partitionBy("doc_bucket")
          .parquet(f"{work_dir}/labels/batch={batch_id}"))
-        (updates.withColumn("ent_bucket", _hash_bucket("entity_id"))
+        (updates.withColumn("ent_bucket",
+                            _hash_bucket("entity_id", n_store_buckets))
+         .repartition("ent_bucket")
          .write.mode("overwrite").partitionBy("ent_bucket")
          .parquet(f"{work_dir}/labels_byent/batch={batch_id}"))
-        (ser.withColumn("doc_bucket", _hash_bucket("doc_id"))
+        (ser.withColumn("doc_bucket",
+                        _hash_bucket("doc_id", n_store_buckets))
+         .repartition("doc_bucket")
          .write.mode("overwrite").partitionBy("doc_bucket")
          .parquet(f"{work_dir}/docs/batch={batch_id}"))
-        (keys_new.select("id", "block_key", _bk_bucket().alias("bk_bucket"))
+        (keys_new.select("id", "block_key",
+                         _bk_bucket(n_store_buckets).alias("bk_bucket"))
+         .repartition("bk_bucket")
          .write.mode("overwrite").partitionBy("bk_bucket")
          .parquet(f"{work_dir}/index/batch={batch_id}"))
         if compact_every and (batch_id + 1) % compact_every == 0:
@@ -532,7 +609,8 @@ def incremental_entities(
             # so the in-flight partition must never enter the snapshot
             compact_entity_labels(spark, f"{work_dir}/labels",
                                   before_batch=batch_id,
-                                  byent_path=f"{work_dir}/labels_byent")
+                                  byent_path=f"{work_dir}/labels_byent",
+                                  n_buckets=n_store_buckets)
 
     q = (
         stream_docs.writeStream.foreachBatch(process)

@@ -392,3 +392,52 @@ def test_unlabeled_nodes_empty_store(spark, tmp_path):
     out = touched_member_labels(spark, str(tmp_path / "none"), nodes)
     assert out.columns == ["doc_id", "entity_id"]
     assert out.count() == 0
+
+
+def test_custom_store_bucket_count_and_marker_guard(spark, tmp_path):
+    """``n_store_buckets`` sizes every store's hash partitioning (the
+    corpus-sized-buckets contract that keeps per-batch reads O(batch));
+    labels still equal the batch pipeline, and re-opening the stores
+    with a DIFFERENT count fails fast instead of pruning to the wrong
+    partitions (which would silently drop rows)."""
+    import os
+
+    import pytest
+
+    from ditto_spark.schema import DOC_SCHEMA
+    from ditto_spark.streaming.incremental_er import (incremental_entities,
+                                                      read_entity_labels)
+    from ditto_spark.synth import docs_df
+
+    docs = docs_df(spark, n_entities=12, seed=29)
+    rows = docs.collect()
+    src = str(tmp_path / "in")
+    half = (len(rows) + 1) // 2
+    for i in range(2):
+        chunk = [(r.doc_id,
+                  [(s.kind, s.text, s.media_ref, s.offset)
+                   for s in r.spans])
+                 for r in rows[i * half:(i + 1) * half]]
+        (spark.createDataFrame(chunk, DOC_SCHEMA).coalesce(1)
+         .write.mode("append").parquet(src))
+
+    def _stream():
+        return (spark.readStream.schema(DOC_SCHEMA)
+                .option("maxFilesPerTrigger", 1).parquet(src))
+
+    wd, ck = str(tmp_path / "work"), str(tmp_path / "ck")
+    incremental_entities(spark, _stream(), wd, ck, n_store_buckets=8)
+    # the count is pinned in a marker and the stores really use it
+    assert os.path.isdir(f"{wd}/_n_buckets=8")
+    b0 = f"{wd}/labels/batch=0"
+    seen = {p for p in os.listdir(b0) if p.startswith("doc_bucket=")}
+    assert seen and all(0 <= int(p.split("=")[1]) < 8 for p in seen)
+
+    got = {r["doc_id"]: r["entity_id"]
+           for r in read_entity_labels(spark, f"{wd}/labels").collect()}
+    assert got == _batch_oracle_labels(spark, docs)
+
+    # a restart with a mismatched bucket count must refuse to run
+    with pytest.raises(Exception, match="n_buckets=8"):
+        incremental_entities(spark, _stream(), wd, str(tmp_path / "ck2"),
+                             n_store_buckets=16)

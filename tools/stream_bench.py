@@ -2,16 +2,30 @@
 
 Evidence for the streaming scale story: per-micro-batch cost must be
 driven by the batch (plus the touched components), not by total corpus
-age. Streams N batches of B synthetic docs through
-``incremental_entities`` twice — without compaction and with
+age or size.
+
+Default mode (compaction): streams N batches of B synthetic docs
+through ``incremental_entities`` twice — without compaction and with
 ``compact_every`` — and prints one JSON line with per-batch
 triggerExecution ms for both runs. Without compaction the label
 resolve scans one partition per prior batch (per-batch cost creeps up
 with stream age); inline compaction bounds the history, flattening the
 tail.
 
+``--flatness`` mode (the O(batch) claim, VERDICT r4 #1): pre-seeds the
+incremental stores with corpora of two sizes (small and ``--scale-x``
+bigger), each with store bucket counts SIZED TO THE CORPUS (the design
+contract: pruned read cost = touched buckets x corpus/n_buckets), then
+streams the IDENTICAL measured batches — near-duplicates of corpus
+entities, so every batch does real candidate-join + score + localized
+CC work against the seeded state — and reports per-batch latency at
+both corpus sizes. O(batch) holds iff the ratio stays ~1 while the
+corpus grows scale-x fold.
+
   PYTHONPATH=/root/repo python tools/stream_bench.py \
       [--batches 12] [--batch-docs 2000] [--compact-every 4] [--cores 8]
+  PYTHONPATH=/root/repo python tools/stream_bench.py --flatness \
+      [--corpus 25000] [--scale-x 8] [--batches 5] [--batch-docs 200]
 """
 
 from __future__ import annotations
@@ -22,6 +36,7 @@ import os
 import shutil
 import sys
 import tempfile
+import time
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
@@ -50,13 +65,231 @@ def run(spark, src: str, schema, compact_every: int | None) -> list[float]:
         shutil.rmtree(work, ignore_errors=True)
 
 
+def _seed_stores(spark, corpus_docs, work_dir: str, n_buckets: int) -> None:
+    """Materialize the incremental stores for a pre-existing corpus in
+    ONE batch job each (what a deployment does before attaching the
+    stream): docs/index/labels/labels_byent at batch=-1 (below any
+    stream batch id, so every per-batch read sees them), labels as
+    singletons (the no-prior-matches state — internally consistent with
+    an empty matches store)."""
+    from pyspark.sql import functions as F
+
+    from ditto_spark.operators.blocking import minhash_band_buckets
+    from ditto_spark.operators.serialize import serialize_spans
+    from ditto_spark.streaming.incremental_er import (_bk_bucket,
+                                                      _check_bucket_meta,
+                                                      _hash_bucket)
+
+    _check_bucket_meta(spark, work_dir, n_buckets)
+    ser = (corpus_docs.withColumn(
+        "text", serialize_spans(F.col("spans"), drop_empty=True))
+        .select(F.col("doc_id").cast("string").alias("doc_id"), "text"))
+    (ser.withColumn("doc_bucket", _hash_bucket("doc_id", n_buckets))
+     .repartition("doc_bucket")
+     .write.mode("overwrite").partitionBy("doc_bucket")
+     .parquet(f"{work_dir}/docs/batch=-1"))
+    keys = minhash_band_buckets(ser, "doc_id", "text", 24, 6, 3)
+    (keys.select("id", "block_key",
+                 _bk_bucket(n_buckets).alias("bk_bucket"))
+     .repartition("bk_bucket")
+     .write.mode("overwrite").partitionBy("bk_bucket")
+     .parquet(f"{work_dir}/index/batch=-1"))
+    singles = ser.select("doc_id", F.col("doc_id").alias("entity_id"))
+    (singles.withColumn("doc_bucket", _hash_bucket("doc_id", n_buckets))
+     .repartition("doc_bucket")
+     .write.mode("overwrite").partitionBy("doc_bucket")
+     .parquet(f"{work_dir}/labels/batch=-1"))
+    (singles.withColumn("ent_bucket", _hash_bucket("entity_id", n_buckets))
+     .repartition("ent_bucket")
+     .write.mode("overwrite").partitionBy("ent_bucket")
+     .parquet(f"{work_dir}/labels_byent/batch=-1"))
+
+
+def _probe_docs(spark, n_docs: int, n_corpus_entities: int, seed: int = 91):
+    """Measured-batch docs: each a corruption of a corpus entity spread
+    uniformly over the entity pool, so every batch exercises real
+    candidate joins against the seeded corpus and per-probe candidate
+    volume is corpus-size-independent (each entity has <= 3 corpus
+    copies regardless of pool size)."""
+    import random
+    from typing import Iterator
+
+    import pandas as pd
+
+    from ditto_spark.schema import DOC_SCHEMA
+    from ditto_spark.synth import _base_entity, _corrupt_spans
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = []
+            for j in pdf["id"].tolist():
+                eid = (j * 7919) % n_corpus_entities
+                base = _base_entity(random.Random((17 << 21) ^ eid), eid)
+                spans = _corrupt_spans(random.Random((seed << 20) ^ j), base)
+                for off, s in enumerate(spans):
+                    s["offset"] = off
+                out.append({"doc_id": f"p{j:09d}", "spans": spans})
+            yield pd.DataFrame(out)
+
+    return spark.range(n_docs).mapInPandas(gen, DOC_SCHEMA)
+
+
+def _pruned_read_rows(spark, work: str, chunks, n_buckets: int) -> dict:
+    """Post-hoc per-batch measurement of the quantity the bucket
+    pruning controls: rows admitted by each batch's partition filters
+    on the two largest accumulated stores (band index, labels), vs the
+    full store size at that instant. Recomputed exactly from the
+    persisted stores + the known batch inputs — deterministic, no
+    instrumentation inside the engine."""
+    from pyspark.sql import functions as F
+
+    from ditto_spark.operators.blocking import minhash_band_buckets
+    from ditto_spark.operators.serialize import serialize_spans
+    from ditto_spark.streaming.incremental_er import (_bucket_values,
+                                                      _in_buckets,
+                                                      _hash_bucket)
+
+    idx = spark.read.parquet(f"{work}/index").localCheckpoint(eager=True)
+    lab = spark.read.parquet(f"{work}/labels").localCheckpoint(eager=True)
+    out = {"index_pruned": [], "index_total": [],
+           "labels_pruned": [], "labels_total": []}
+    for i, chunk in enumerate(chunks):
+        ser = chunk.withColumn(
+            "text", serialize_spans(F.col("spans"), drop_empty=True))
+        keys = minhash_band_buckets(ser, "doc_id", "text", 24, 6, 3)
+        bks = _bucket_values(keys, "block_key", n_buckets)
+        prior_idx = idx.filter(F.col("batch") < i)
+        out["index_total"].append(prior_idx.count())
+        out["index_pruned"].append(
+            prior_idx.filter(_in_buckets("bk_bucket", bks)).count())
+        edges = spark.read.parquet(f"{work}/matches/batch={i}").filter(
+            "match = 1")
+        nodes = (edges.select(F.col("left_id").alias("doc_id"))
+                 .unionByName(edges.select(F.col("right_id").alias("doc_id")))
+                 .unionByName(ser.select(
+                     F.col("doc_id").cast("string").alias("doc_id"))))
+        dbs = _bucket_values(nodes.distinct(), "doc_id", n_buckets)
+        prior_lab = lab.filter(F.col("batch") < i)
+        out["labels_total"].append(prior_lab.count())
+        out["labels_pruned"].append(
+            prior_lab.filter(_in_buckets("doc_bucket", dbs)).count())
+    idx.unpersist()
+    lab.unpersist()
+    return out
+
+
+def run_flatness(args) -> None:
+    from ditto_spark.session import get_spark
+    from ditto_spark.streaming.incremental_er import incremental_entities
+    from ditto_spark.synth import distributed_docs
+
+    spark = get_spark("stream-flatness", cores=args.cores,
+                      shuffle_partitions=args.cores)
+    # keep partition discovery driver-side: the job-based parallel
+    # listing (default threshold 32 dirs) pays scheduler overhead on
+    # EVERY store read; serial listing of a few thousand local dirs is
+    # cheaper and closer to what a table-format metastore provides
+    spark.conf.set(
+        "spark.sql.sources.parallelPartitionDiscovery.threshold", "100000")
+    corpus2 = args.corpus2 or args.corpus * args.scale_x
+    buckets2 = args.buckets2 or args.buckets * args.scale_x
+    sizes = [(args.corpus, args.buckets), (corpus2, buckets2)]
+    # identical measured input for both corpus sizes
+    src = tempfile.mkdtemp(prefix="flatness_src_")
+    probes = _probe_docs(spark, args.batches * args.batch_docs,
+                         # entities of the SMALL corpus exist in both
+                         n_corpus_entities=args.corpus // 3)
+    schema = probes.schema
+    rows = probes.collect()
+    for i in range(args.batches):
+        chunk = rows[i * args.batch_docs:(i + 1) * args.batch_docs]
+        (spark.createDataFrame(chunk, schema).coalesce(1)
+         .write.mode("append").parquet(src))
+
+    result = {"batches": args.batches, "batch_docs": args.batch_docs,
+              "cores": args.cores, "runs": []}
+    try:
+        for n_corpus, n_buckets in sizes:
+            work = tempfile.mkdtemp(prefix=f"flatness_{n_corpus}_")
+            try:
+                corpus = distributed_docs(spark, n_corpus, seed=17)
+                t0 = time.time()
+                _seed_stores(spark, corpus, f"{work}/wd", n_buckets)
+                seed_sec = round(time.time() - t0, 1)
+                stream = (spark.readStream.schema(schema)
+                          .option("maxFilesPerTrigger", 1).parquet(src))
+                progress = incremental_entities(
+                    spark, stream, f"{work}/wd", f"{work}/ck",
+                    compact_every=None, n_store_buckets=n_buckets)
+                ms = per_batch_ms(progress)
+                n_matches = spark.read.parquet(f"{work}/wd/matches").filter(
+                    "match = 1").count()
+                chunks = [
+                    spark.createDataFrame(
+                        rows[i * args.batch_docs:(i + 1) * args.batch_docs],
+                        schema)
+                    for i in range(args.batches)]
+                reads = _pruned_read_rows(spark, f"{work}/wd", chunks,
+                                          n_buckets)
+                result["runs"].append({
+                    "corpus_docs": n_corpus, "n_buckets": n_buckets,
+                    "seed_sec": seed_sec, "per_batch_ms": ms,
+                    "avg_batch_ms": round(sum(ms) / len(ms), 1),
+                    "min_batch_ms": round(min(ms), 1),
+                    "stream_matches": n_matches,
+                    "per_batch_store_reads": reads,
+                })
+            finally:
+                shutil.rmtree(work, ignore_errors=True)
+    finally:
+        shutil.rmtree(src, ignore_errors=True)
+    small, big = result["runs"]
+    # min is the steady-state signal on a noisy shared host (see
+    # BENCH.md methodology); avg reported alongside
+    result["flatness_ratio_avg"] = round(
+        big["avg_batch_ms"] / small["avg_batch_ms"], 3)
+    result["flatness_ratio_min"] = round(
+        big["min_batch_ms"] / small["min_batch_ms"], 3)
+
+    def _avg(xs):
+        return sum(xs) / max(len(xs), 1)
+
+    for store in ("index", "labels"):
+        sp = _avg(small["per_batch_store_reads"][f"{store}_pruned"])
+        bp = _avg(big["per_batch_store_reads"][f"{store}_pruned"])
+        st = _avg(small["per_batch_store_reads"][f"{store}_total"])
+        bt = _avg(big["per_batch_store_reads"][f"{store}_total"])
+        result[f"{store}_rows_read_ratio"] = round(bp / sp, 3) if sp else None
+        result[f"{store}_store_size_ratio"] = round(bt / st, 3) if st else None
+    result["corpus_scale_x"] = round(
+        big["corpus_docs"] / small["corpus_docs"], 2)
+    print(json.dumps(result))
+    spark.stop()
+
+
 def main() -> None:
     ap = argparse.ArgumentParser()
     ap.add_argument("--batches", type=int, default=12)
     ap.add_argument("--batch-docs", type=int, default=2000)
     ap.add_argument("--compact-every", type=int, default=4)
     ap.add_argument("--cores", type=int, default=8)
+    ap.add_argument("--flatness", action="store_true")
+    ap.add_argument("--corpus", type=int, default=25000)
+    ap.add_argument("--scale-x", type=int, default=8)
+    ap.add_argument("--buckets", type=int, default=128,
+                    help="store buckets for the SMALL corpus; the big "
+                    "corpus uses buckets*scale_x (corpus-sized buckets)")
+    ap.add_argument("--corpus2", type=int, default=None,
+                    help="explicit second-leg corpus (overrides scale-x)")
+    ap.add_argument("--buckets2", type=int, default=None,
+                    help="explicit second-leg bucket count")
     args = ap.parse_args()
+
+    if args.flatness:
+        if args.batches == 12 and args.batch_docs == 2000:
+            args.batches, args.batch_docs = 5, 200
+        run_flatness(args)
+        return
 
     from ditto_spark.session import get_spark
     from ditto_spark.synth import distributed_docs
