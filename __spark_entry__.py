@@ -763,6 +763,28 @@ def _er_threshold_verified(spark, sf_dir):
         "best_th double, swept_f1 double, repredicted_f1 double")
 
 
+def _dedup_repeated_spans(spark, sf_dir):
+    """Exact-substring dedup (Lee et al. 2022): every full 4-token
+    window occurring in >= 2 distinct documents, with position — the
+    repeated-span inventory a training pipeline trims before near-dup
+    passes. One hash-agg global stage; oracle recomputes the rolling
+    windows + portable hash in DuckDB."""
+    from ditto_spark.operators.dedup import repeated_ngram_spans
+
+    d = _t(spark, sf_dir, "documents")
+    return repeated_ngram_spans(d, "doc_id", "text", n=4, min_df=2)
+
+
+def _dedup_span_coverage(spark, sf_dir):
+    """Per-doc fraction of tokens inside cross-document repeated 4-gram
+    windows (exact interval-union coverage) — the drop/trim decision
+    metric for exact-substring dedup."""
+    from ditto_spark.operators.dedup import repeated_span_coverage
+
+    d = _t(spark, sf_dir, "documents")
+    return repeated_span_coverage(d, "doc_id", "text", n=4, min_df=2)
+
+
 def _dedup_ngram_jaccard_capped(spark, sf_dir):
     """The scale-safe form of n-gram jaccard: shingles with document
     frequency above the cap are dropped BEFORE set sizes are counted
@@ -1029,6 +1051,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "er_pipeline_full": _er_pipeline_full,
         "er_threshold_verified": _er_threshold_verified,
         "dedup_ngram_jaccard_capped": _dedup_ngram_jaccard_capped,
+        "dedup_repeated_spans": _dedup_repeated_spans,
+        "dedup_span_coverage": _dedup_span_coverage,
         "er_model_scores": _er_model_scores,
         "er_incremental_entities": _er_incremental_entities,
         "sim_ann_lsh": _sim_ann_lsh,
@@ -1725,6 +1749,8 @@ def oracle_sql() -> dict[str, str]:
         "er_pipeline_full": _pipeline_full_oracle_sql(),
         "er_threshold_verified": _threshold_verified_oracle_sql(),
         "dedup_ngram_jaccard_capped": _ngram_capped_oracle_sql(),
+        "dedup_repeated_spans": _repeated_spans_oracle_sql(),
+        "dedup_span_coverage": _span_coverage_oracle_sql(),
         "sim_ann_lsh": _ann_lsh_oracle_sql(),
         "sim_ann_lsh_multiprobe": _ann_lsh_multiprobe_oracle_sql(),
         "sim_near_dups_lsh": _near_dups_lsh_oracle_sql(),
@@ -2129,6 +2155,51 @@ def _threshold_verified_oracle_sql() -> str:
                           ELSE 0.0 END AS f1x
               FROM f)
         ORDER BY f1x DESC, th ASC LIMIT 1
+    """
+
+
+def _repeated_grams_cte(n: int = 4, min_df: int = 2) -> str:
+    """Shared CTE body: full n-token rolling windows with positions and
+    the cross-doc repeated subset (document frequency >= min_df), hashes
+    via the portable md5-prefix family (hashing.porthash)."""
+    return f"""
+        toks AS (SELECT doc_id, {_TOKS} AS ts FROM documents),
+        pos AS (SELECT doc_id, ts, unnest(range(len(ts) - {n} + 1)) AS i
+                FROM toks),
+        grams AS (
+          SELECT doc_id, CAST(i AS INT) AS start_pos,
+                 ('0x' || substr(md5(array_to_string(ts[i+1:i+{n}], ' ')),
+                  1, 15))::BIGINT AS gram_hash
+          FROM pos),
+        rep AS (
+          SELECT gram_hash, COUNT(DISTINCT doc_id) AS ndocs
+          FROM grams GROUP BY 1
+          HAVING COUNT(DISTINCT doc_id) >= {min_df})"""
+
+
+def _repeated_spans_oracle_sql(n: int = 4, min_df: int = 2) -> str:
+    return f"""
+        WITH {_repeated_grams_cte(n, min_df)}
+        SELECT g.doc_id, g.start_pos, g.gram_hash, r.ndocs
+        FROM grams g JOIN rep r USING (gram_hash)
+    """
+
+
+def _span_coverage_oracle_sql(n: int = 4, min_df: int = 2) -> str:
+    return f"""
+        WITH {_repeated_grams_cte(n, min_df)},
+        cov AS (
+          SELECT doc_id, COUNT(DISTINCT p) AS covered FROM (
+            SELECT g.doc_id, g.start_pos + x.x AS p
+            FROM grams g JOIN rep r USING (gram_hash),
+                 (SELECT unnest(range({n})) AS x) AS x)
+          GROUP BY doc_id)
+        SELECT t.doc_id, len(t.ts) AS n_tokens,
+               COALESCE(c.covered, 0) AS covered,
+               CASE WHEN len(t.ts) = 0 THEN 0.0
+                    ELSE round(COALESCE(c.covered, 0)::DOUBLE
+                               / len(t.ts), 6) END AS coverage
+        FROM toks t LEFT JOIN cov c USING (doc_id)
     """
 
 

@@ -236,3 +236,90 @@ def embedding_near_dups(
         .filter(F.col("cosine") >= threshold)
         .select("left_id", "right_id", "cosine")
     )
+
+
+def repeated_ngram_spans(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    n: int = 8,
+    min_df: int = 2,
+) -> DataFrame:
+    """Cross-document repeated exact n-token substrings with positions —
+    the exact-substring dedup target (Lee et al. 2022, "Deduplicating
+    Training Data Makes Language Models Better": repeated spans, not
+    whole-doc near-dups, drive memorization). Returns
+    (doc_id, start_pos, gram_hash, ndocs): every FULL n-token window
+    whose text occurs in >= min_df distinct documents.
+
+    Plan (all codegen, no HOF lambdas in the hot path): posexplode
+    tokens + window lead() builds the rolling windows (one shuffle on
+    doc id), porthash(gram) -> groupBy(hash) countDistinct(doc) is the
+    global document-frequency pass (one shuffle on the 60-bit hash —
+    uniform keys, no skew), and the spans join back on the same hash
+    (partitioning reused from the agg). Nothing materializes text
+    pairs; the join fanout per hash is the true cross-doc repeat count.
+    At 100TB the hash agg is the only global stage and it partial-
+    aggregates map-side."""
+    from pyspark.sql import Window
+
+    toks = df.select(
+        F.col(id_col).alias("doc_id"),
+        F.posexplode(tokenize(F.col(text_col))).alias("start_pos", "tok"),
+    )
+    w = Window.partitionBy("doc_id").orderBy("start_pos")
+    leads = [F.lead("tok", j).over(w) for j in range(1, n)]
+    grams = (
+        toks.withColumn("_last", leads[-1] if leads else F.col("tok"))
+        .withColumn("gram_hash",
+                    porthash(F.concat_ws(" ", F.col("tok"), *leads)))
+        # exactness: only FULL n-token windows count (unlike shingles,
+        # which keep a partial whole-text window for short docs)
+        .filter(F.col("_last").isNotNull())
+        .select("doc_id", "start_pos", "gram_hash")
+    )
+    rep = (grams.groupBy("gram_hash")
+           .agg(F.countDistinct("doc_id").alias("ndocs"))
+           .filter(F.col("ndocs") >= min_df))
+    return grams.join(rep, "gram_hash").select(
+        "doc_id", "start_pos", "gram_hash", "ndocs")
+
+
+def repeated_span_coverage(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    n: int = 8,
+    min_df: int = 2,
+) -> DataFrame:
+    """(doc_id, n_tokens, covered, coverage): fraction of each doc's
+    tokens lying inside at least one cross-document repeated n-gram
+    window — the drop/trim decision metric for exact-substring dedup
+    (a doc that is mostly repeated spans is boilerplate). Coverage is
+    the exact interval-union size, computed by exploding each repeated
+    window into its token positions and counting distinct positions
+    per doc (fanout bounded at n per span, one agg on doc id)."""
+    spans = repeated_ngram_spans(df, id_col, text_col, n, min_df)
+    covered = (
+        spans.select(
+            "doc_id",
+            F.explode(F.sequence(
+                F.col("start_pos"),
+                F.col("start_pos") + F.lit(n - 1))).alias("p"))
+        .distinct()
+        .groupBy("doc_id")
+        .agg(F.count("*").alias("covered"))
+    )
+    base = df.select(
+        F.col(id_col).alias("doc_id"),
+        F.size(tokenize(F.col(text_col))).alias("n_tokens"))
+    return (
+        base.join(covered, "doc_id", "left")
+        .withColumn("covered", F.coalesce("covered", F.lit(0)))
+        .withColumn(
+            "coverage",
+            F.when(F.col("n_tokens") == 0, F.lit(0.0)).otherwise(
+                F.round(F.col("covered").cast("double")
+                        / F.col("n_tokens"), 6)))
+        .select("doc_id", "n_tokens", "covered", "coverage")
+    )

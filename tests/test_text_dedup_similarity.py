@@ -332,3 +332,40 @@ def test_embedding_near_dups_lsh_subset_and_recall(spark):
               embedding_near_dups_lsh(df, threshold=0.95, n_bits=8,
                                       dim=dim, multiprobe=True).collect()}
     assert lsh_np == lsh
+
+
+def test_repeated_ngram_spans_planted(spark):
+    """Exact-substring dedup: a 4-token span planted in 3 docs is found
+    at the right positions with ndocs=3; unique text and docs shorter
+    than n emit nothing (full windows only)."""
+    from ditto_spark.operators.dedup import (repeated_ngram_spans,
+                                             repeated_span_coverage)
+
+    boiler = "all rights reserved contact us"  # 5 tokens
+    rows = [
+        ("a", f"alpha beta {boiler} gamma"),
+        ("b", f"{boiler} delta epsilon zeta"),
+        ("c", f"unique words here then {boiler}"),
+        ("d", "totally different content with no overlap at all"),
+        ("e", "too short"),  # < n tokens
+    ]
+    df = spark.createDataFrame(rows, "doc_id string, text string")
+    spans = repeated_ngram_spans(df, "doc_id", "text", n=4, min_df=2)
+    got = {(r.doc_id, r.start_pos): r.ndocs for r in spans.collect()}
+    # the 5-token boilerplate yields two overlapping 4-gram windows,
+    # each present in docs a (start 2), b (start 0), c (start 4)
+    for doc, base in (("a", 2), ("b", 0), ("c", 4)):
+        assert got.get((doc, base)) == 3
+        assert got.get((doc, base + 1)) == 3
+    assert not any(d == "d" or d == "e" for d, _ in got)
+
+    cov = {r.doc_id: (r.n_tokens, r.covered, r.coverage)
+           for r in repeated_span_coverage(
+               df, "doc_id", "text", n=4, min_df=2).collect()}
+    # doc b: positions 0..4 covered (two overlapping windows union) of 8
+    assert cov["b"] == (8, 5, 0.625)
+    assert cov["d"] == (8, 0, 0.0)
+    assert cov["e"][1] == 0
+    # coverage always within [0, 1] and covered <= n_tokens
+    for n_tok, covd, c in cov.values():
+        assert 0 <= covd <= n_tok and 0.0 <= c <= 1.0
