@@ -120,3 +120,16 @@ def test_key_blocking_prunes_via_aqe(spark):
     assert "CartesianProduct" not in plan
     assert "SortMergeJoin" in plan or "ShuffledHashJoin" in plan \
         or "BroadcastHashJoin" in plan
+
+def test_repeated_spans_plan_bounded_shuffles(spark):
+    """Exact-substring dedup: one window shuffle per grams leg + one
+    hash-agg exchange on the 60-bit gram hash; the df-filtered repeat
+    set joins back via broadcast at this scale (equi-join on gram_hash
+    at scale — never a cross join), and the whole plan is JVM-side."""
+    from ditto_spark.operators.dedup import repeated_ngram_spans
+
+    d = spark.read.parquet(f"{SF}/documents.parquet").select(
+        F.col("doc_id").cast("string").alias("doc_id"), "text")
+    plan = _plan(repeated_ngram_spans(d, "doc_id", "text", n=4))
+    assert plan.count("Exchange hashpartitioning") <= 3, plan
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
