@@ -69,6 +69,16 @@ class PipelineConfig:
     # pairs may want partitions sized to ~100k pairs each regardless of
     # core count. See docs/PLANS.md "score_pairs parallelism".
     score_partitions: int | None = None
+    # Token hash family for the MinHash pass: "xxhash64" (JVM-native,
+    # fastest) or "portable" (md5-derived — reproducible outside the
+    # JVM, used by the oracle-checked entries so DuckDB can recompute
+    # the band keys bit-exactly).
+    token_hash: str = "xxhash64"
+    # Override of the sorted-neighborhood sort key (a Column over the
+    # serialized `text`); None = the production sn_key() (first value
+    # tokens). The oracle-checked stage-metrics entry passes
+    # lower(text) so the SQL twin can reproduce the global order.
+    sn_key_expr: object = None
     # Bound on the driver-collected ref-TFIDF vocabulary (top-df tokens).
     # The oracle entries keep max_vocab=None for sklearn-exactness, but
     # the pipeline default must never collect an unbounded vocab at
@@ -213,17 +223,22 @@ def run_pipeline(
         mh = B.minhash_lsh_blocking(
             serialized, n_hashes=cfg.minhash_hashes, bands=cfg.minhash_bands,
             shingle_n=cfg.shingle_n, max_bucket_rows=cfg.max_bucket_rows,
-            with_texts=False,
+            with_texts=False, token_hash=cfg.token_hash,
         )
-        sn = B.sorted_neighborhood(serialized, sn_key(), window=cfg.sn_window,
+        key = cfg.sn_key_expr if cfg.sn_key_expr is not None else sn_key()
+        sn = B.sorted_neighborhood(serialized, key, window=cfg.sn_window,
                                    with_texts=False)
         return B.union_candidates(mh, sn)
 
-    # "block-v2": the stage content changed (id pairs only, no texts) —
-    # old checkpoints must invalidate
-    fp_cand = fingerprint_of("block-v2", fp_ser, cfg.minhash_hashes,
+    # "block-v3": the stage content changed (hash family + SN key are
+    # now config) — old checkpoints must invalidate. str(Column) is a
+    # stable expression string; repr would embed a memory address.
+    fp_cand = fingerprint_of("block-v3", fp_ser, cfg.minhash_hashes,
                              cfg.minhash_bands, cfg.shingle_n,
-                             cfg.sn_window, cfg.max_bucket_rows)
+                             cfg.sn_window, cfg.max_bucket_rows,
+                             cfg.token_hash,
+                             "default" if cfg.sn_key_expr is None
+                             else str(cfg.sn_key_expr))
     if store is None:
         # candidates has exactly ONE downstream consumer (scoring), so
         # without a checkpoint store it stays lazy and fuses into the

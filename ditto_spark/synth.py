@@ -168,20 +168,38 @@ def truth_df(spark, n_entities: int = 200, seed: int = 42, max_dups: int = 4):
     return spark.createDataFrame(truth)
 
 
-def distributed_docs(spark, n_docs: int, seed: int = 42, dup_rate: float = 0.6):
+def distributed_docs(spark, n_docs: int, seed: int = 42, dup_rate: float = 0.6,
+                     hot_fraction: float = 0.0):
     """Bench-scale generator: one doc per row of spark.range(n_docs),
     deterministic per doc index (independent of partitioning).
 
     Duplicates are planted by mapping several doc indexes to one entity id:
     entity = idx // 3 for a dup_rate fraction, else unique.
+
+    ``hot_fraction`` > 0 plants a genuinely Zipfian head: that fraction
+    of doc indexes (every round(1/f)-th) are all corrupted copies of ONE
+    entity — their serialized texts share shingles, minhash band keys
+    and the sorted-neighborhood key region, so every blocking pass sees
+    one massive hot key (the skew-endurance fixture, VERDICT r4 #6).
     """
     from ditto_spark.schema import DOC_SCHEMA
+
+    hot_every = round(1 / hot_fraction) if hot_fraction > 0 else 0
 
     def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             out = []
             for idx in pdf["id"].tolist():
                 rng = random.Random((seed << 20) ^ idx)
+                if hot_every and idx % hot_every == 0:
+                    base_rng = random.Random(seed << 22)
+                    base = _base_entity(base_rng, 0)
+                    spans = (_corrupt_spans(rng, base) if idx
+                             else [dict(s) for s in base])
+                    for off, s in enumerate(spans):
+                        s["offset"] = off
+                    out.append({"doc_id": f"d{idx:09d}", "spans": spans})
+                    continue
                 if rng.random() < dup_rate:
                     eid = idx // 3
                     base_rng = random.Random((seed << 21) ^ eid)
