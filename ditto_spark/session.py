@@ -102,5 +102,7 @@ def clear_operator_caches(spark: SparkSession) -> None:
     between-runs hammer; per-run cleanup happens automatically via
     ``cachereg.cache_scope`` inside pipeline stages."""
     from ditto_spark.cachereg import release_all
+    from ditto_spark.operators.embed import clear_probe_cache
 
     release_all()
+    clear_probe_cache()

