@@ -63,12 +63,40 @@ def lsh_candidates_per_query(emb, n_bits: int, dim: int,
     return (tot - n) / n  # each query sees itself exactly once
 
 
+def planted_embeddings(spark, n: int, dim: int, n_clusters: int,
+                       noise: float, seed: int = 13):
+    """Deterministic clustered corpus: members = unit(center + noise).
+    The synthetic testdata embeddings are near-isotropic — the
+    ADVERSARIAL case for any cosine index (no neighbor structure to
+    exploit); real document-embedding corpora cluster. This leg shows
+    the recall the same index reaches when structure exists."""
+    import numpy as np
+
+    rng = np.random.RandomState(seed)
+    centers = rng.randn(n_clusters, dim)
+    centers /= np.linalg.norm(centers, axis=1, keepdims=True)
+    # scale noise so its expected NORM is `noise` (randn(dim) has norm
+    # ~sqrt(dim) — unscaled it would swamp the unit centers entirely)
+    mem = centers[np.arange(n) % n_clusters] + \
+        noise * rng.randn(n, dim) / np.sqrt(dim)
+    mem /= np.linalg.norm(mem, axis=1, keepdims=True)
+    return spark.createDataFrame(
+        [(int(i), [float(x) for x in mem[i]]) for i in range(n)],
+        "vec_id long, embedding array<double>")
+
+
 def main() -> None:
     sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.1"
     k = int(sys.argv[2]) if len(sys.argv) > 2 else 10
+    planted = "--planted" in sys.argv
     spark = get_spark("ann-recall", cores=8, shuffle_partitions=8)
-    emb = spark.read.parquet(os.path.join(sf_dir, "embeddings.parquet")) \
-        .select("vec_id", "embedding").localCheckpoint(eager=True)
+    if planted:
+        emb = planted_embeddings(spark, 2000, 64, n_clusters=100,
+                                 noise=0.25).localCheckpoint(eager=True)
+    else:
+        emb = spark.read.parquet(
+            os.path.join(sf_dir, "embeddings.parquet")) \
+            .select("vec_id", "embedding").localCheckpoint(eager=True)
     n = emb.count()
     dim = len(emb.first()["embedding"])
     truth = cosine_topk(emb, emb, k=k).localCheckpoint(eager=True)
@@ -111,8 +139,8 @@ def main() -> None:
     for r in rows:
         print(f"| {r['method']} | {r['recall_at_k']} | "
               f"{r['cands_per_query']} | {r['wall_sec']} |")
-    print(json.dumps({"sf_dir": sf_dir, "n": n, "dim": dim, "k": k,
-                      "legs": rows}))
+    print(json.dumps({"sf_dir": ("planted" if planted else sf_dir),
+                      "n": n, "dim": dim, "k": k, "legs": rows}))
 
 
 if __name__ == "__main__":

@@ -115,6 +115,10 @@ def main() -> None:
                       "top_band_buckets": [r["count"] for r in top],
                       "bucket_cap": cfg.max_bucket_rows}), flush=True)
 
+    # discarded warm-up: the first leg in a fresh JVM pays codegen +
+    # allocator warm-up (measured 2x on this host) — without it the
+    # uniform-vs-zipf wall ratio measures run ORDER, not skew
+    leg(spark, p_uni, cfg, "warmup_discard", n_docs)
     uni = leg(spark, p_uni, cfg, "uniform", n_docs)
     skw = leg(spark, p_hot, cfg, f"zipf_hot{hot}", n_docs)
 
