@@ -763,6 +763,32 @@ def _er_threshold_verified(spark, sf_dir):
         "best_th double, swept_f1 double, repredicted_f1 double")
 
 
+def _er_blocking_quality(spark, sf_dir):
+    """Blocker evaluation (pair completeness + reduction ratio) of the
+    flagship's two-pass blocking — portable MinHash-LSH UNION
+    sorted-neighborhood — against exhaustive capped 3-gram-Jaccard
+    near-dups (threshold 0.3) as ground truth. The recall/cost dial the
+    reference's blocker k/threshold (blocking/blocker.py:96-99)
+    controls but never measures."""
+    from ditto_spark.operators.blocking import (blocking_quality,
+                                                minhash_lsh_blocking,
+                                                sorted_neighborhood,
+                                                union_candidates)
+    from ditto_spark.operators.dedup import ngram_jaccard_pairs
+
+    d = _t(spark, sf_dir, "documents")
+    ser = _er_serialize(spark, sf_dir).select(
+        "doc_id", F.col("serialized").alias("text"))
+    mh = minhash_lsh_blocking(ser, n_hashes=24, bands=6, shingle_n=3,
+                              max_bucket_rows=200, with_texts=False,
+                              token_hash="portable")
+    sn = sorted_neighborhood(ser, F.lower(F.col("text")), window=2,
+                             with_texts=False)
+    truth = ngram_jaccard_pairs(d, "doc_id", "text", n=3, threshold=0.3,
+                                max_shingle_df=50)
+    return blocking_quality(union_candidates(mh, sn), truth, d)
+
+
 def _dedup_repeated_spans(spark, sf_dir):
     """Exact-substring dedup (Lee et al. 2022): every full 4-token
     window occurring in >= 2 distinct documents, with position — the
@@ -1084,6 +1110,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "er_pipeline_full": _er_pipeline_full,
         "er_threshold_verified": _er_threshold_verified,
         "dedup_ngram_jaccard_capped": _dedup_ngram_jaccard_capped,
+        "er_blocking_quality": _er_blocking_quality,
         "dedup_repeated_spans": _dedup_repeated_spans,
         "dedup_span_coverage": _dedup_span_coverage,
         "er_model_scores": _er_model_scores,
@@ -1783,6 +1810,7 @@ def oracle_sql() -> dict[str, str]:
         "er_pipeline_full": _pipeline_full_oracle_sql(),
         "er_threshold_verified": _threshold_verified_oracle_sql(),
         "dedup_ngram_jaccard_capped": _ngram_capped_oracle_sql(),
+        "er_blocking_quality": _blocking_quality_oracle_sql(),
         "dedup_repeated_spans": _repeated_spans_oracle_sql(),
         "dedup_span_coverage": _span_coverage_oracle_sql(),
         "sim_ann_lsh": _ann_lsh_oracle_sql(),
@@ -2004,6 +2032,56 @@ def _minhash_portable_ctes() -> str:
           SELECT DISTINCT a.doc_id AS left_id, b.doc_id AS right_id
           FROM mcap a JOIN mcap b
             ON a.block_key = b.block_key AND a.doc_id < b.doc_id)"""
+
+
+def _blocking_quality_oracle_sql(cap: int = 50,
+                                 threshold: float = 0.3) -> str:
+    """Recompute BOTH sides independently: the two-pass candidate set
+    (SN + portable MinHash CTEs) and the capped-Jaccard truth set, then
+    the completeness/reduction arithmetic."""
+    return f"""
+        WITH {_sn_pair_ctes()},
+        {_minhash_portable_ctes()},
+        allp AS (
+          SELECT left_id, right_id FROM p0
+          UNION
+          SELECT left_id, right_id FROM mhp),
+        td AS (SELECT doc_id, {_TOKS} AS w FROM documents),
+        tsh AS (SELECT doc_id, {_SHINGLES} AS s FROM td),
+        tex0 AS (SELECT doc_id, unnest(s) AS shingle FROM tsh),
+        tkept AS (SELECT shingle FROM tex0 GROUP BY shingle
+                  HAVING COUNT(*) <= {cap}),
+        tex1 AS (SELECT tex0.doc_id, tex0.shingle
+                 FROM tex0 JOIN tkept USING (shingle)),
+        tnn AS (SELECT doc_id, COUNT(*) AS n FROM tex1 GROUP BY doc_id),
+        tex AS (SELECT e.doc_id, tnn.n, e.shingle
+                FROM tex1 e JOIN tnn USING (doc_id)),
+        tpairs AS (
+          SELECT a.doc_id AS l, b.doc_id AS r, a.n AS na, b.n AS nb,
+                 COUNT(*) AS common
+          FROM tex a JOIN tex b
+            ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+          GROUP BY 1, 2, 3, 4),
+        truth AS (
+          SELECT l AS left_id, r AS right_id FROM tpairs
+          WHERE round(CAST(common AS DOUBLE) / (na + nb - common), 6)
+                >= {threshold}),
+        nt AS (SELECT COUNT(*) AS n_truth FROM truth),
+        nh AS (SELECT COUNT(*) AS n_hit
+               FROM truth t JOIN allp c
+                 ON t.left_id = c.left_id AND t.right_id = c.right_id),
+        nc AS (SELECT COUNT(*) AS n_candidates FROM allp),
+        nd AS (SELECT COUNT(*) AS n_docs FROM documents)
+        SELECT n_docs, n_candidates, n_truth, n_hit,
+               round(CAST(n_hit AS DOUBLE)
+                     / CAST(GREATEST(n_truth, 1) AS DOUBLE), 6)
+                 AS pair_completeness,
+               round(1.0 - n_candidates
+                     / (CAST(n_docs AS DOUBLE)
+                        * CAST(n_docs - 1 AS DOUBLE) / 2.0), 6)
+                 AS reduction_ratio
+        FROM nt, nh, nc, nd
+    """
 
 
 def _pipeline_full_oracle_sql() -> str:

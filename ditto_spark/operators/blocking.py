@@ -480,3 +480,53 @@ def union_candidates(*passes: DataFrame) -> DataFrame:
         .agg(*aggs)
         .select(*cols)
     )
+
+
+def blocking_quality(
+    candidates: DataFrame,
+    truth: DataFrame,
+    corpus: DataFrame,
+    left_col: str = "left_id",
+    right_col: str = "right_id",
+) -> DataFrame:
+    """Standard blocker evaluation: one row with **pair completeness**
+    (the fraction of ground-truth duplicate pairs the blocker retained —
+    the recall a downstream matcher can never exceed) and **reduction
+    ratio** (the fraction of the n·(n-1)/2 all-pairs comparison space
+    the blocker pruned). The two numbers a user tuning bands/window/caps
+    trades against each other; the reference exposes the same dial only
+    implicitly via the blocker's k/threshold (blocking/blocker.py:96-99)
+    and never measures it.
+
+    ``candidates``/``truth`` are pair frames (any orientation or
+    duplication — pairs are canonicalized and deduped here);
+    ``corpus`` is the blocked table (row count sets the all-pairs
+    denominator). Fully declarative: three bounded single-row
+    aggregates crossJoined — no driver-side collect, scales to any
+    corpus the inputs scale to.
+    """
+    def canon(df: DataFrame) -> DataFrame:
+        return df.select(
+            F.least(F.col(left_col), F.col(right_col)).alias("l"),
+            F.greatest(F.col(left_col), F.col(right_col)).alias("r"),
+        ).distinct()
+
+    c = canon(candidates)
+    t = canon(truth)
+    hits = t.join(c, ["l", "r"], "left_semi")
+    allp = (F.col("n_docs").cast("double")
+            * (F.col("n_docs") - 1).cast("double") / 2.0)
+    return (
+        t.agg(F.count("*").alias("n_truth"))
+        .crossJoin(hits.agg(F.count("*").alias("n_hit")))
+        .crossJoin(c.agg(F.count("*").alias("n_candidates")))
+        .crossJoin(corpus.agg(F.count("*").alias("n_docs")))
+        .select(
+            "n_docs", "n_candidates", "n_truth", "n_hit",
+            F.round(F.col("n_hit")
+                    / F.greatest(F.col("n_truth"), F.lit(1)).cast("double"),
+                    6).alias("pair_completeness"),
+            F.round(1.0 - F.col("n_candidates") / allp,
+                    6).alias("reduction_ratio"),
+        )
+    )

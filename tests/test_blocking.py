@@ -96,3 +96,28 @@ def test_multi_pass_union_recall(spark):
     assert rec > 0.8, f"union recall too low: {rec}"
     # pair dedupe holds
     assert merged.count() == merged.select("left_id", "right_id").distinct().count()
+
+
+def test_blocking_quality_planted(spark):
+    """Exact completeness/reduction arithmetic on a planted corpus:
+    5 docs -> 10 possible pairs; truth = 4 pairs; candidates = 3 of the
+    4 truth pairs + 2 non-dup pairs (one given reversed + duplicated to
+    exercise canonicalization)."""
+    from ditto_spark.operators.blocking import blocking_quality
+
+    corpus = spark.createDataFrame([(i,) for i in range(5)], "doc_id int")
+    truth = spark.createDataFrame(
+        [(0, 1), (0, 2), (1, 2), (3, 4)], "left_id int, right_id int")
+    cand = spark.createDataFrame(
+        [(0, 1), (1, 0), (0, 2), (3, 4), (0, 4), (2, 3)],
+        "left_id int, right_id int")
+    row = blocking_quality(cand, truth, corpus).first()
+    assert row.n_docs == 5 and row.n_candidates == 5
+    assert row.n_truth == 4 and row.n_hit == 3
+    assert row.pair_completeness == 0.75
+    assert row.reduction_ratio == 0.5  # 1 - 5/10
+
+    # degenerate: empty truth -> completeness clamps via greatest(,1)
+    empty = truth.limit(0)
+    row2 = blocking_quality(cand, empty, corpus).first()
+    assert row2.n_truth == 0 and row2.pair_completeness == 0.0
