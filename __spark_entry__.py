@@ -789,6 +789,25 @@ def _er_blocking_quality(spark, sf_dir):
     return blocking_quality(union_candidates(mh, sn), truth, d)
 
 
+def _er_lsh_tuning_curve(spark, sf_dir):
+    """The MinHash banding s-curve measured on the real corpus: pair
+    completeness vs reduction ratio for bands in {2, 6, 12} over the
+    same 24-permutation portable signature (rows/band 12, 4, 2),
+    scored against capped 3-gram-Jaccard truth. The quantitative form
+    of the recall dial the reference's blocker exposes as k/threshold
+    (blocking/blocker.py:96-99)."""
+    from ditto_spark.operators.blocking import lsh_tuning_curve
+    from ditto_spark.operators.dedup import ngram_jaccard_pairs
+
+    d = _t(spark, sf_dir, "documents")
+    ser = _er_serialize(spark, sf_dir).select(
+        "doc_id", F.col("serialized").alias("text"))
+    truth = ngram_jaccard_pairs(d, "doc_id", "text", n=3, threshold=0.3,
+                                max_shingle_df=50)
+    return lsh_tuning_curve(ser, truth, d, band_configs=[2, 6, 12],
+                            n_hashes=24, token_hash="portable")
+
+
 def _dedup_repeated_spans(spark, sf_dir):
     """Exact-substring dedup (Lee et al. 2022): every full 4-token
     window occurring in >= 2 distinct documents, with position — the
@@ -1111,6 +1130,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "er_threshold_verified": _er_threshold_verified,
         "dedup_ngram_jaccard_capped": _dedup_ngram_jaccard_capped,
         "er_blocking_quality": _er_blocking_quality,
+        "er_lsh_tuning_curve": _er_lsh_tuning_curve,
         "dedup_repeated_spans": _dedup_repeated_spans,
         "dedup_span_coverage": _dedup_span_coverage,
         "er_model_scores": _er_model_scores,
@@ -1811,6 +1831,7 @@ def oracle_sql() -> dict[str, str]:
         "er_threshold_verified": _threshold_verified_oracle_sql(),
         "dedup_ngram_jaccard_capped": _ngram_capped_oracle_sql(),
         "er_blocking_quality": _blocking_quality_oracle_sql(),
+        "er_lsh_tuning_curve": _lsh_tuning_curve_oracle_sql(),
         "dedup_repeated_spans": _repeated_spans_oracle_sql(),
         "dedup_span_coverage": _span_coverage_oracle_sql(),
         "sim_ann_lsh": _ann_lsh_oracle_sql(),
@@ -1966,40 +1987,46 @@ def _pipeline_sql_oracle_sql() -> str:
     """
 
 
-def _minhash_portable_ctes() -> str:
+def _minhash_portable_ctes(n_hashes: int = 24, bands: int = 6,
+                           prefix: str = "m") -> str:
     """DuckDB recomputation of blocking.minhash_band_buckets with
-    token_hash='portable' (24 hashes x 6 bands x 4 rows, shingle_n=3,
-    max_bucket_rows=200, marker tokens dropped): token porthash mod p ->
-    polynomial 3-shingles (short docs keep their pos-0 partial shingle,
-    blocking.py complete-shingle filter) -> per-permutation min ->
-    raw-signature band keys -> capped buckets -> i<j pair join."""
+    token_hash='portable' (default 24 hashes x 6 bands x 4 rows,
+    shingle_n=3, max_bucket_rows=200, marker tokens dropped): token
+    porthash mod p -> polynomial 3-shingles (short docs keep their
+    pos-0 partial shingle, blocking.py complete-shingle filter) ->
+    per-permutation min -> raw-signature band keys -> capped buckets ->
+    i<j pair join. ``prefix`` namespaces the CTEs so several band
+    configs can coexist in one WITH (the tuning-curve oracle); the
+    final pair CTE is ``{prefix}hp``."""
     from ditto_spark.operators.blocking import MERSENNE31, _mh_params
 
     p = MERSENNE31
-    a_c, b_c = _mh_params(24)
+    rows = n_hashes // bands
+    a_c, b_c = _mh_params(n_hashes)
     ph = porthash_sql("x")
     sigs = ",\n                 ".join(
         f"list_min(list_transform(sh, s -> ({a_c[k]} * s + {b_c[k]}) "
         f"% {p})) AS s{k}"
-        for k in range(24))
+        for k in range(n_hashes))
     bandkeys = ",\n            ".join(
         "'" + str(b) + "_' || " + " || ',' || ".join(
-            f"CAST(s{b * 4 + r} AS VARCHAR)" for r in range(4))
-        for b in range(6))
+            f"CAST(s{b * rows + r} AS VARCHAR)" for r in range(rows))
+        for b in range(bands))
     M = 1_000_003
-    return f"""mtoks AS (
+    m = prefix
+    return f"""{m}toks AS (
           SELECT doc_id,
                  list_filter(string_split_regex(lower(trim(text)),
                                                 '\\s+'),
                              x -> x != '' AND x != 'col' AND x != 'val')
                    AS t
           FROM ser),
-        mh AS (
+        {m}h AS (
           SELECT doc_id,
                  list_transform(t, x -> {ph} % {p}) AS h,
                  len(t) AS n
-          FROM mtoks),
-        msh AS (
+          FROM {m}toks),
+        {m}sh AS (
           SELECT doc_id,
                  CASE
                    WHEN n >= 3 THEN list_transform(range(1, n - 1),
@@ -2011,42 +2038,35 @@ def _minhash_portable_ctes() -> str:
                      [((((h[1] * {M}) % {p}) * {M}) % {p})]
                    ELSE []
                  END AS sh
-          FROM mh),
-        msig AS (
+          FROM {m}h),
+        {m}sig AS (
           SELECT doc_id,
                  {sigs}
-          FROM msh WHERE len(sh) > 0),
-        mbands AS (
+          FROM {m}sh WHERE len(sh) > 0),
+        {m}bands AS (
           SELECT doc_id, unnest([
             {bandkeys}
           ]) AS block_key
-          FROM msig),
-        mcap AS (
+          FROM {m}sig),
+        {m}cap AS (
           SELECT doc_id, block_key FROM (
             SELECT doc_id, block_key,
                    row_number() OVER (PARTITION BY block_key
                                       ORDER BY doc_id) AS rk
-            FROM mbands)
+            FROM {m}bands)
           WHERE rk <= 200),
-        mhp AS MATERIALIZED (
+        {m}hp AS MATERIALIZED (
           SELECT DISTINCT a.doc_id AS left_id, b.doc_id AS right_id
-          FROM mcap a JOIN mcap b
+          FROM {m}cap a JOIN {m}cap b
             ON a.block_key = b.block_key AND a.doc_id < b.doc_id)"""
 
 
-def _blocking_quality_oracle_sql(cap: int = 50,
-                                 threshold: float = 0.3) -> str:
-    """Recompute BOTH sides independently: the two-pass candidate set
-    (SN + portable MinHash CTEs) and the capped-Jaccard truth set, then
-    the completeness/reduction arithmetic."""
-    return f"""
-        WITH {_sn_pair_ctes()},
-        {_minhash_portable_ctes()},
-        allp AS (
-          SELECT left_id, right_id FROM p0
-          UNION
-          SELECT left_id, right_id FROM mhp),
-        td AS (SELECT doc_id, {_TOKS} AS w FROM documents),
+def _jaccard_truth_ctes(cap: int = 50, threshold: float = 0.3) -> str:
+    """Capped 3-gram-Jaccard ground-truth pair CTEs, ending in
+    ``truth`` (left_id, right_id) — the `t`-prefixed twin of
+    ``_ngram_capped_oracle_sql``'s chain, namespaced so it composes
+    with the blocking CTEs in one WITH."""
+    return f"""td AS (SELECT doc_id, {_TOKS} AS w FROM documents),
         tsh AS (SELECT doc_id, {_SHINGLES} AS s FROM td),
         tex0 AS (SELECT doc_id, unnest(s) AS shingle FROM tsh),
         tkept AS (SELECT shingle FROM tex0 GROUP BY shingle
@@ -2062,10 +2082,25 @@ def _blocking_quality_oracle_sql(cap: int = 50,
           FROM tex a JOIN tex b
             ON a.shingle = b.shingle AND a.doc_id < b.doc_id
           GROUP BY 1, 2, 3, 4),
-        truth AS (
+        truth AS MATERIALIZED (
           SELECT l AS left_id, r AS right_id FROM tpairs
           WHERE round(CAST(common AS DOUBLE) / (na + nb - common), 6)
-                >= {threshold}),
+                >= {threshold})"""
+
+
+def _blocking_quality_oracle_sql(cap: int = 50,
+                                 threshold: float = 0.3) -> str:
+    """Recompute BOTH sides independently: the two-pass candidate set
+    (SN + portable MinHash CTEs) and the capped-Jaccard truth set, then
+    the completeness/reduction arithmetic."""
+    return f"""
+        WITH {_sn_pair_ctes()},
+        {_minhash_portable_ctes()},
+        allp AS (
+          SELECT left_id, right_id FROM p0
+          UNION
+          SELECT left_id, right_id FROM mhp),
+        {_jaccard_truth_ctes(cap, threshold)},
         nt AS (SELECT COUNT(*) AS n_truth FROM truth),
         nh AS (SELECT COUNT(*) AS n_hit
                FROM truth t JOIN allp c
@@ -2081,6 +2116,41 @@ def _blocking_quality_oracle_sql(cap: int = 50,
                         * CAST(n_docs - 1 AS DOUBLE) / 2.0), 6)
                  AS reduction_ratio
         FROM nt, nh, nc, nd
+    """
+
+
+def _lsh_tuning_curve_oracle_sql(band_configs=(2, 6, 12),
+                                 n_hashes: int = 24) -> str:
+    """One namespaced portable-MinHash CTE chain per banding (prefix
+    mb{bands}_), shared truth chain, one quality row per config."""
+    chains = ",\n        ".join(
+        _minhash_portable_ctes(n_hashes, b, prefix=f"mb{b}_")
+        for b in band_configs)
+    legs = "\n        UNION ALL\n        ".join(f"""SELECT
+            {b} AS bands, {n_hashes // b} AS rows_per_band,
+            (SELECT COUNT(*) FROM documents) AS n_docs,
+            (SELECT COUNT(*) FROM mb{b}_hp) AS n_candidates,
+            (SELECT COUNT(*) FROM truth) AS n_truth,
+            (SELECT COUNT(*) FROM truth t JOIN mb{b}_hp c
+               ON t.left_id = c.left_id AND t.right_id = c.right_id)
+              AS n_hit""" for b in band_configs)
+    return f"""
+        WITH ser AS (SELECT doc_id, {_SER_SQL} AS text FROM documents),
+        {chains},
+        {_jaccard_truth_ctes()},
+        legs AS (
+        {legs})
+        SELECT bands, rows_per_band, n_docs, n_candidates, n_truth,
+               n_hit,
+               round(CAST(n_hit AS DOUBLE)
+                     / CAST(GREATEST(n_truth, 1) AS DOUBLE), 6)
+                 AS pair_completeness,
+               round(1.0 - n_candidates
+                     / (CAST(n_docs AS DOUBLE)
+                        * CAST(n_docs - 1 AS DOUBLE) / 2.0), 6)
+                 AS reduction_ratio
+        FROM legs
+        ORDER BY bands
     """
 
 

@@ -530,3 +530,37 @@ def blocking_quality(
                     6).alias("reduction_ratio"),
         )
     )
+
+
+def lsh_tuning_curve(
+    ser: DataFrame,
+    truth: DataFrame,
+    corpus: DataFrame,
+    band_configs: list[int],
+    n_hashes: int = 24,
+    shingle_n: int = 3,
+    max_bucket_rows: int = 200,
+    token_hash: str = "xxhash64",
+) -> DataFrame:
+    """The MinHash-LSH s-curve, measured: one ``blocking_quality`` row
+    per banding of the same ``n_hashes``-permutation signature. With r
+    rows per band a true pair of Jaccard s becomes a candidate with
+    P = 1-(1-s^r)^b (MMDS ch.3) — more bands / fewer rows buys recall
+    with candidate volume. This turns that theory into the two measured
+    numbers a user actually trades (pair completeness vs reduction
+    ratio) on THEIR corpus. The config loop is driver-side over a
+    handful of literals — the per-config work is fully distributed and
+    the signature shuffle shape is identical across configs."""
+    out = None
+    for bands in band_configs:
+        mh = minhash_lsh_blocking(
+            ser, n_hashes=n_hashes, bands=bands, shingle_n=shingle_n,
+            max_bucket_rows=max_bucket_rows, with_texts=False,
+            token_hash=token_hash)
+        q = blocking_quality(mh, truth, corpus).select(
+            F.lit(bands).alias("bands"),
+            F.lit(n_hashes // bands).alias("rows_per_band"),
+            "n_docs", "n_candidates", "n_truth", "n_hit",
+            "pair_completeness", "reduction_ratio")
+        out = q if out is None else out.unionByName(q)
+    return out.orderBy("bands")

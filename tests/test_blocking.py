@@ -121,3 +121,34 @@ def test_blocking_quality_planted(spark):
     empty = truth.limit(0)
     row2 = blocking_quality(cand, empty, corpus).first()
     assert row2.n_truth == 0 and row2.pair_completeness == 0.0
+
+
+def test_lsh_tuning_curve_monotone(spark):
+    """More bands (fewer rows/band) can only ADD band keys over the
+    same signature -> candidate set grows monotonically and so does
+    pair completeness; rows_per_band = n_hashes // bands."""
+    from ditto_spark.operators.blocking import lsh_tuning_curve
+    from ditto_spark.operators.dedup import ngram_jaccard_pairs
+
+    base = [
+        "alpha beta gamma delta epsilon zeta", 
+        "alpha beta gamma delta epsilon eta",
+        "one two three four five six",
+        "one two three four five seven",
+        "totally different words here now folks",
+        "unrelated content again entirely other",
+    ]
+    docs = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(base)], "doc_id int, text string")
+    truth = ngram_jaccard_pairs(docs, "doc_id", "text", n=3,
+                                threshold=0.2, max_shingle_df=None)
+    curve = lsh_tuning_curve(docs.selectExpr("doc_id", "text"), truth,
+                             docs, band_configs=[2, 4, 8],
+                             n_hashes=16).collect()
+    assert [r.bands for r in curve] == [2, 4, 8]
+    assert [r.rows_per_band for r in curve] == [8, 4, 2]
+    cands = [r.n_candidates for r in curve]
+    pcs = [r.pair_completeness for r in curve]
+    assert cands == sorted(cands)
+    assert pcs == sorted(pcs)
+    assert all(r.n_truth == curve[0].n_truth for r in curve)
