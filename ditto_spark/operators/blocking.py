@@ -564,3 +564,18 @@ def lsh_tuning_curve(
             "pair_completeness", "reduction_ratio")
         out = q if out is None else out.unionByName(q)
     return out.orderBy("bands")
+
+
+def choose_banding(curve: DataFrame, target_completeness: float) -> dict:
+    """Pick the cheapest banding meeting a completeness target from an
+    ``lsh_tuning_curve`` result: fewest candidates among configs with
+    pair_completeness >= target, else the highest-completeness config
+    (ties -> fewer candidates). Driver-side over the handful of swept
+    configs (bounded by the config list, never by the corpus)."""
+    rows = [r.asDict() for r in curve.collect()]
+    ok = [r for r in rows if r["pair_completeness"]
+          >= target_completeness]
+    if ok:
+        return min(ok, key=lambda r: r["n_candidates"])
+    return max(rows, key=lambda r: (r["pair_completeness"],
+                                    -r["n_candidates"]))

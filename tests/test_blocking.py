@@ -152,3 +152,15 @@ def test_lsh_tuning_curve_monotone(spark):
     assert cands == sorted(cands)
     assert pcs == sorted(pcs)
     assert all(r.n_truth == curve[0].n_truth for r in curve)
+
+
+def test_choose_banding(spark):
+    from ditto_spark.operators.blocking import choose_banding
+
+    curve = spark.createDataFrame(
+        [(2, 12, 9, 0.36), (6, 4, 23, 0.92), (12, 2, 35, 1.0)],
+        "bands int, rows_per_band int, n_candidates long, "
+        "pair_completeness double")
+    assert choose_banding(curve, 0.9)["bands"] == 6   # cheapest >= 0.9
+    assert choose_banding(curve, 0.95)["bands"] == 12
+    assert choose_banding(curve, 1.1)["bands"] == 12  # unreachable -> best
