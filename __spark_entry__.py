@@ -1047,6 +1047,68 @@ def _er_incremental_entities(spark, sf_dir):
                                  "doc_id string, entity_id string")
 
 
+def _sim_incremental_ann(spark, sf_dir):
+    """§2.8 streaming, embedding tail (engine addition): stream the
+    embeddings table in 3 micro-batches through incremental_ann_topk
+    (bucket-hash-partitioned growing RP-LSH index, probe-pruned reads),
+    then HARD-ASSERT each batch's streamed top-k equals ann_topk_lsh
+    run with base = all vectors arrived so far — an in-entry Python
+    oracle, so the driver's rows-only record is content-backed (raises
+    on any divergence). No SQL oracle: Structured Streaming is not one
+    DuckDB query (the underlying bucketing IS oracle-checked by
+    sim_ann_lsh / sim_ann_lsh_multiprobe)."""
+    import shutil
+    import tempfile
+
+    from ditto_spark.operators.similarity import ann_topk_lsh
+    from ditto_spark.streaming.incremental_ann import incremental_ann_topk
+
+    emb = (_t(spark, sf_dir, "embeddings")
+           .select(F.col("vec_id").cast("long").alias("vec_id"),
+                   "embedding")
+           .filter(F.col("vec_id") < 120).orderBy("vec_id"))
+    tmp = tempfile.mkdtemp(prefix="sim_inc_ann_")
+    try:
+        rows = emb.collect()
+        third = (len(rows) + 2) // 3
+        chunks = [rows[i * third:(i + 1) * third] for i in range(3)]
+        for chunk in chunks:
+            (spark.createDataFrame(chunk, emb.schema).coalesce(1)
+             .write.mode("append").parquet(f"{tmp}/in"))
+        stream = (spark.readStream.schema(emb.schema)
+                  .option("maxFilesPerTrigger", 1).parquet(f"{tmp}/in"))
+        incremental_ann_topk(spark, stream, f"{tmp}/work", f"{tmp}/ck",
+                             k=5, n_bits=4, multiprobe=True)
+        streamed = spark.read.parquet(f"{tmp}/work/topk")
+        # per-batch oracle: replay through the batch operator with the
+        # corpus accumulated in batch order
+        seen = None
+        for bid in sorted(r[0] for r in
+                          streamed.select("batch").distinct().collect()):
+            got = sorted(map(tuple, streamed.filter(
+                F.col("batch") == bid).drop("batch").collect()))
+            qids = {g[0] for g in got}
+            batch_rows = [c for c in chunks
+                          if {str(v) for v, _ in c} & qids]
+            assert len(batch_rows) == 1, "batch boundary mismatch"
+            this = spark.createDataFrame(batch_rows[0], emb.schema).select(
+                F.col("vec_id").cast("string").alias("vec_id"),
+                "embedding")
+            seen = this if seen is None else seen.unionByName(this)
+            want = sorted(map(tuple, ann_topk_lsh(
+                seen, this, k=5, n_bits=4, multiprobe=True).collect()))
+            if got != want:
+                raise AssertionError(
+                    f"streamed top-k diverges from the batch operator "
+                    f"in batch {bid}: {len(got)} vs {len(want)} rows")
+        out = sorted(map(tuple, streamed.drop("batch").collect()))
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+    return spark.createDataFrame(
+        out, "query_id string, neighbor_id string, cosine double, "
+             "rank int")
+
+
 def _er_stage_metrics(spark, sf_dir):
     """North-rule lineage+metrics surface (VERDICT r4 #8): run the
     store-backed pipeline — every stage checkpointed to parquet with a
@@ -1135,6 +1197,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_span_coverage": _dedup_span_coverage,
         "er_model_scores": _er_model_scores,
         "er_incremental_entities": _er_incremental_entities,
+        "sim_incremental_ann": _sim_incremental_ann,
         "sim_ann_lsh": _sim_ann_lsh,
         "sim_ann_lsh_multiprobe": _sim_ann_lsh_multiprobe,
         "sim_near_dups_lsh": _sim_near_dups_lsh,
