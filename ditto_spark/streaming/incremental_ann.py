@@ -48,6 +48,34 @@ def _bucket_values_int(df: DataFrame, col: str,
                   .distinct().collect())
 
 
+def seed_vector_index(
+    spark: SparkSession,
+    emb: DataFrame,
+    work_dir: str,
+    n_bits: int = 8,
+    dim: int | None = None,
+    n_store_buckets: int = N_INDEX_BUCKETS,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    batch: int = -1,
+) -> None:
+    """Bulk-load an existing corpus into the growing index before
+    streaming starts. Written under ``batch=-1`` so the stream's first
+    micro-batch (batch 0) still sees it through the retry-idempotence
+    read (which excludes ``batch >= batch_id``); pins the store's
+    bucket count in the marker the per-batch reads verify."""
+    _check_bucket_meta(spark, work_dir, n_store_buckets)
+    keys = (rp_lsh_buckets(
+        emb.select(F.col(id_col).cast("string").alias("id"),
+                   F.col(vec_col).alias("vec")),
+        n_bits, "id", "vec", dim)
+        .withColumn("bucket", F.col("bucket").cast("long"))
+        .withColumn("vb_bucket", _hash_bucket("bucket", n_store_buckets)))
+    (keys.repartition("vb_bucket")
+     .write.mode("overwrite").partitionBy("vb_bucket")
+     .parquet(f"{work_dir}/index/batch={batch}"))
+
+
 def incremental_ann_topk(
     spark: SparkSession,
     stream_emb: DataFrame,

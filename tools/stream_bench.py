@@ -267,6 +267,150 @@ def run_flatness(args) -> None:
     spark.stop()
 
 
+def _clustered_vectors(spark, n: int, dim: int = 64,
+                       n_clusters: int = 512, id_offset: int = 0,
+                       noise: float = 0.1, salt: int = 0):
+    """Deterministic per-id clustered unit vectors (cluster =
+    raw_id % n_clusters against a fixed 4096-center matrix — the SAME
+    matrix for every n_clusters, so corpora of different sizes share
+    their low-numbered clusters and probes built on clusters < 512 hit
+    real neighbors in every leg), generated executor-side via
+    mapInPandas so seeding 200k+ vectors never collects on the
+    driver. Scaling n_clusters WITH the corpus keeps per-cluster
+    density constant — a growing corpus adds entities, not copies."""
+    import pandas as pd
+
+    assert n_clusters <= 4096
+
+    def gen(batches):
+        import numpy as np
+        rng_c = np.random.RandomState(5)
+        centers = rng_c.randn(4096, dim)[:n_clusters]
+        centers /= np.linalg.norm(centers, axis=1, keepdims=True)
+        for pdf in batches:
+            ids = pdf["id"].to_numpy()
+            vecs = []
+            for i in ids:
+                g = np.random.RandomState(
+                    (int(i) + salt) % (2 ** 31 - 1)).randn(dim)
+                v = centers[int(i) % n_clusters] + \
+                    noise * g / np.sqrt(dim)
+                vecs.append((v / np.linalg.norm(v)).tolist())
+            yield pd.DataFrame({"vec_id": ids + id_offset,
+                                "embedding": vecs})
+
+    return spark.range(n).mapInPandas(
+        gen, "vec_id long, embedding array<double>")
+
+
+def run_ann_flatness(args) -> None:
+    """O(batch) claim for the incremental-ANN index: stream IDENTICAL
+    query batches against seeded vector corpora of two sizes (store
+    buckets sized to each corpus) and report per-batch latency plus
+    index rows read per batch at both sizes. O(batch) holds iff rows
+    read per batch stay ~constant while the corpus grows scale-x."""
+    from pyspark.sql import functions as F
+
+    from ditto_spark.session import get_spark
+    from ditto_spark.streaming.incremental_ann import (incremental_ann_topk,
+                                                       seed_vector_index)
+    from ditto_spark.streaming.incremental_er import (_hash_bucket,
+                                                      _in_buckets)
+
+    spark = get_spark("ann-flatness", cores=args.cores,
+                      shuffle_partitions=args.cores)
+    spark.conf.set(
+        "spark.sql.sources.parallelPartitionDiscovery.threshold", "100000")
+    dim, n_bits = 64, 12
+    corpus2 = args.corpus2 or args.corpus * args.scale_x
+    buckets2 = args.buckets2 or args.buckets * args.scale_x
+    sizes = [(args.corpus, args.buckets), (corpus2, buckets2)]
+    # identical measured batches for both legs: near-dups of corpus
+    # clusters (salted noise), ids disjoint from every corpus
+    src = tempfile.mkdtemp(prefix="ann_flatness_src_")
+    probes = _clustered_vectors(
+        spark, args.batches * args.batch_docs,
+        id_offset=10 ** 9, salt=777).collect()
+    schema = "vec_id long, embedding array<double>"
+    for i in range(args.batches):
+        chunk = probes[i * args.batch_docs:(i + 1) * args.batch_docs]
+        (spark.createDataFrame(chunk, schema).coalesce(1)
+         .write.mode("append").parquet(src))
+
+    result = {"batches": args.batches, "batch_docs": args.batch_docs,
+              "n_bits": n_bits, "dim": dim, "cores": args.cores,
+              "multiprobe": False, "runs": []}
+    try:
+        for n_corpus, n_buckets in sizes:
+            work = tempfile.mkdtemp(prefix=f"ann_flat_{n_corpus}_")
+            try:
+                # clusters scale with the corpus (constant density —
+                # growth adds entities); probes use clusters < 512,
+                # present in every leg via the shared center matrix
+                emb = _clustered_vectors(
+                    spark, n_corpus,
+                    n_clusters=min(4096, max(512, n_corpus // 48)))
+                t0 = time.time()
+                seed_vector_index(spark, emb, f"{work}/wd",
+                                  n_bits=n_bits, dim=dim,
+                                  n_store_buckets=n_buckets)
+                seed_sec = round(time.time() - t0, 1)
+                stream = (spark.readStream.schema(schema)
+                          .option("maxFilesPerTrigger", 1).parquet(src))
+                progress = incremental_ann_topk(
+                    spark, stream, f"{work}/wd", f"{work}/ck", k=10,
+                    n_bits=n_bits, dim=dim, multiprobe=False,
+                    n_store_buckets=n_buckets)
+                ms = per_batch_ms(progress)
+                # per-batch pruned index read vs full index, replayed
+                # with the same probe-bucket logic the stream used
+                index = spark.read.parquet(f"{work}/wd/index")
+                total = index.count()
+                pruned_rows = []
+                for i in range(args.batches):
+                    chunk = spark.createDataFrame(
+                        probes[i * args.batch_docs:
+                               (i + 1) * args.batch_docs], schema)
+                    from ditto_spark.operators.similarity import \
+                        rp_lsh_buckets
+                    pb = sorted(r[0] for r in rp_lsh_buckets(
+                        chunk, n_bits, "vec_id", "embedding", dim)
+                        .select(_hash_bucket(
+                            F.col("bucket").cast("long"),
+                            n_buckets).alias("b"))
+                        .distinct().collect())
+                    pruned_rows.append(index.filter(
+                        _in_buckets("vb_bucket", pb)).count())
+                result["runs"].append({
+                    "corpus_vecs": n_corpus, "n_buckets": n_buckets,
+                    "seed_sec": seed_sec, "per_batch_ms": ms,
+                    "avg_batch_ms": round(sum(ms) / len(ms), 1),
+                    "min_batch_ms": round(min(ms), 1),
+                    "index_rows_total": total,
+                    "index_rows_read_per_batch": pruned_rows,
+                })
+            finally:
+                shutil.rmtree(work, ignore_errors=True)
+    finally:
+        shutil.rmtree(src, ignore_errors=True)
+    small, big = result["runs"]
+    result["flatness_ratio_avg"] = round(
+        big["avg_batch_ms"] / small["avg_batch_ms"], 3)
+    result["flatness_ratio_min"] = round(
+        big["min_batch_ms"] / small["min_batch_ms"], 3)
+
+    def _avg(xs):
+        return sum(xs) / max(len(xs), 1)
+
+    result["index_rows_read_ratio"] = round(
+        _avg(big["index_rows_read_per_batch"])
+        / max(_avg(small["index_rows_read_per_batch"]), 1), 3)
+    result["index_size_ratio"] = round(
+        big["index_rows_total"] / max(small["index_rows_total"], 1), 3)
+    print(json.dumps(result))
+    spark.stop()
+
+
 def main() -> None:
     ap = argparse.ArgumentParser()
     ap.add_argument("--batches", type=int, default=12)
@@ -274,6 +418,7 @@ def main() -> None:
     ap.add_argument("--compact-every", type=int, default=4)
     ap.add_argument("--cores", type=int, default=8)
     ap.add_argument("--flatness", action="store_true")
+    ap.add_argument("--ann-flatness", action="store_true")
     ap.add_argument("--corpus", type=int, default=25000)
     ap.add_argument("--scale-x", type=int, default=8)
     ap.add_argument("--buckets", type=int, default=128,
@@ -284,6 +429,14 @@ def main() -> None:
     ap.add_argument("--buckets2", type=int, default=None,
                     help="explicit second-leg bucket count")
     args = ap.parse_args()
+
+    if args.ann_flatness:
+        if args.batches == 12 and args.batch_docs == 2000:
+            args.batches, args.batch_docs = 5, 50
+        if args.corpus == 25000 and args.buckets == 128:
+            args.buckets = 256
+        run_ann_flatness(args)
+        return
 
     if args.flatness:
         if args.batches == 12 and args.batch_docs == 2000:
