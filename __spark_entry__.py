@@ -830,6 +830,22 @@ def _dedup_span_coverage(spark, sf_dir):
     return repeated_span_coverage(d, "doc_id", "text", n=4, min_df=2)
 
 
+def _dedup_contamination(spark, sf_dir):
+    """Train/test decontamination (GPT-3 appendix C's n-gram collision
+    check as a set operation): even doc_ids = train, odd = test; per
+    test doc, its full 4-token windows that occur anywhere in train.
+    Train reduces to distinct gram hashes (8 bytes/gram), so the check
+    against a 100TB train corpus never carries text past the gram
+    stage."""
+    from ditto_spark.operators.dedup import cross_corpus_contamination
+
+    d = _t(spark, sf_dir, "documents")
+    train = d.filter(F.col("doc_id") % 2 == 0)
+    test = d.filter(F.col("doc_id") % 2 == 1)
+    return cross_corpus_contamination(train, test, "doc_id", "text",
+                                      n=4, min_hits=1)
+
+
 def _dedup_ngram_jaccard_capped(spark, sf_dir):
     """The scale-safe form of n-gram jaccard: shingles with document
     frequency above the cap are dropped BEFORE set sizes are counted
@@ -1193,6 +1209,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_ngram_jaccard_capped": _dedup_ngram_jaccard_capped,
         "er_blocking_quality": _er_blocking_quality,
         "er_lsh_tuning_curve": _er_lsh_tuning_curve,
+        "dedup_contamination": _dedup_contamination,
         "dedup_repeated_spans": _dedup_repeated_spans,
         "dedup_span_coverage": _dedup_span_coverage,
         "er_model_scores": _er_model_scores,
@@ -1895,6 +1912,7 @@ def oracle_sql() -> dict[str, str]:
         "dedup_ngram_jaccard_capped": _ngram_capped_oracle_sql(),
         "er_blocking_quality": _blocking_quality_oracle_sql(),
         "er_lsh_tuning_curve": _lsh_tuning_curve_oracle_sql(),
+        "dedup_contamination": _contamination_oracle_sql(),
         "dedup_repeated_spans": _repeated_spans_oracle_sql(),
         "dedup_span_coverage": _span_coverage_oracle_sql(),
         "sim_ann_lsh": _ann_lsh_oracle_sql(),
@@ -2445,6 +2463,43 @@ def _repeated_grams_cte(n: int = 4, min_df: int = 2) -> str:
           SELECT gram_hash, COUNT(DISTINCT doc_id) AS ndocs
           FROM grams GROUP BY 1
           HAVING COUNT(DISTINCT doc_id) >= {min_df})"""
+
+
+def _contamination_oracle_sql(n: int = 4, min_hits: int = 1) -> str:
+    """Both sides' rolling grams recomputed from scratch; train side
+    distinct-hashed, per-test-doc hit counts, short docs report 0."""
+    gram = (f"('0x' || substr(md5(array_to_string(ts[i+1:i+{n}], ' ')), "
+            "1, 15))::BIGINT")
+    return f"""
+        WITH toks AS (
+          SELECT doc_id, {_TOKS} AS ts FROM documents),
+        trg AS (
+          SELECT DISTINCT {gram} AS gram_hash
+          FROM (SELECT doc_id, ts,
+                       unnest(range(len(ts) - {n} + 1)) AS i
+                FROM toks WHERE doc_id % 2 = 0)),
+        teg AS (
+          SELECT doc_id, {gram} AS gram_hash
+          FROM (SELECT doc_id, ts,
+                       unnest(range(len(ts) - {n} + 1)) AS i
+                FROM toks WHERE doc_id % 2 = 1)),
+        per_doc AS (
+          SELECT t.doc_id, COUNT(*) AS n_grams,
+                 COUNT(g.gram_hash) AS n_hit_grams
+          FROM teg t LEFT JOIN trg g USING (gram_hash)
+          GROUP BY 1)
+        SELECT d.doc_id,
+               COALESCE(p.n_grams, 0) AS n_grams,
+               COALESCE(p.n_hit_grams, 0) AS n_hit_grams,
+               round(CASE WHEN COALESCE(p.n_grams, 0) > 0
+                          THEN COALESCE(p.n_hit_grams, 0)
+                               / CAST(p.n_grams AS DOUBLE)
+                          ELSE 0.0 END, 6) AS hit_fraction,
+               CAST(COALESCE(p.n_hit_grams, 0) >= {min_hits} AS INT)
+                 AS contaminated
+        FROM (SELECT doc_id FROM documents WHERE doc_id % 2 = 1) d
+        LEFT JOIN per_doc p USING (doc_id)
+    """
 
 
 def _repeated_spans_oracle_sql(n: int = 4, min_df: int = 2) -> str:

@@ -238,6 +238,86 @@ def embedding_near_dups(
     )
 
 
+def rolling_gram_hashes(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    n: int,
+) -> DataFrame:
+    """(doc_id, start_pos, gram_hash) — every FULL n-token rolling
+    window, hashed with the portable md5-prefix family. All codegen:
+    posexplode tokens + window lead() (one shuffle on doc id). Unlike
+    shingles, partial windows from docs shorter than n are DROPPED
+    (exact-substring semantics)."""
+    from pyspark.sql import Window
+
+    toks = df.select(
+        F.col(id_col).alias("doc_id"),
+        F.posexplode(tokenize(F.col(text_col))).alias("start_pos", "tok"),
+    )
+    w = Window.partitionBy("doc_id").orderBy("start_pos")
+    leads = [F.lead("tok", j).over(w) for j in range(1, n)]
+    return (
+        toks.withColumn("_last", leads[-1] if leads else F.col("tok"))
+        .withColumn("gram_hash",
+                    porthash(F.concat_ws(" ", F.col("tok"), *leads)))
+        .filter(F.col("_last").isNotNull())
+        .select("doc_id", "start_pos", "gram_hash")
+    )
+
+
+def cross_corpus_contamination(
+    train: DataFrame,
+    test: DataFrame,
+    id_col: str,
+    text_col: str,
+    n: int = 8,
+    min_hits: int = 1,
+) -> DataFrame:
+    """Train/test decontamination (the n-gram-overlap check LLM
+    training pipelines run before evaluation — GPT-3 appendix C's
+    13-gram collision test as a set operation): per TEST doc, how many
+    of its full n-token windows occur ANYWHERE in train. Returns
+    (doc_id, n_grams, n_hit_grams, hit_fraction, contaminated) for
+    every test doc — docs too short to form one full window report
+    n_grams=0 and clean.
+
+    Plan: each side builds rolling grams with one doc-id shuffle; the
+    train side reduces to DISTINCT gram hashes (one global hash agg,
+    partial map-side — the only train-sized stage, and it carries 8
+    bytes per distinct gram, never text); test grams LEFT-JOIN that
+    set on the hash (uniform 60-bit keys, no skew) and aggregate per
+    doc. Nothing materializes doc pairs at any point, so contamination
+    against a 100TB train corpus is two shuffles + one hash join."""
+    poisoned = (rolling_gram_hashes(train, id_col, text_col, n)
+                .select("gram_hash").distinct()
+                .withColumn("_hit", F.lit(1)))
+    te = rolling_gram_hashes(test, id_col, text_col, n)
+    per_doc = (
+        te.join(poisoned, "gram_hash", "left")
+        .groupBy("doc_id")
+        .agg(F.count("*").alias("n_grams"),
+             F.sum(F.coalesce(F.col("_hit"), F.lit(0)))
+             .alias("n_hit_grams"))
+    )
+    # short test docs (no full window) are still part of the report
+    return (
+        test.select(F.col(id_col).alias("doc_id"))
+        .join(per_doc, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.coalesce("n_grams", F.lit(0)).alias("n_grams"),
+            F.coalesce("n_hit_grams", F.lit(0)).alias("n_hit_grams"),
+            F.round(F.when(F.coalesce("n_grams", F.lit(0)) > 0,
+                           F.coalesce("n_hit_grams", F.lit(0))
+                           / F.col("n_grams").cast("double"))
+                    .otherwise(F.lit(0.0)), 6).alias("hit_fraction"),
+            (F.coalesce("n_hit_grams", F.lit(0)) >= min_hits)
+            .cast("int").alias("contaminated"),
+        )
+    )
+
+
 def repeated_ngram_spans(
     df: DataFrame,
     id_col: str,
@@ -261,23 +341,7 @@ def repeated_ngram_spans(
     pairs; the join fanout per hash is the true cross-doc repeat count.
     At 100TB the hash agg is the only global stage and it partial-
     aggregates map-side."""
-    from pyspark.sql import Window
-
-    toks = df.select(
-        F.col(id_col).alias("doc_id"),
-        F.posexplode(tokenize(F.col(text_col))).alias("start_pos", "tok"),
-    )
-    w = Window.partitionBy("doc_id").orderBy("start_pos")
-    leads = [F.lead("tok", j).over(w) for j in range(1, n)]
-    grams = (
-        toks.withColumn("_last", leads[-1] if leads else F.col("tok"))
-        .withColumn("gram_hash",
-                    porthash(F.concat_ws(" ", F.col("tok"), *leads)))
-        # exactness: only FULL n-token windows count (unlike shingles,
-        # which keep a partial whole-text window for short docs)
-        .filter(F.col("_last").isNotNull())
-        .select("doc_id", "start_pos", "gram_hash")
-    )
+    grams = rolling_gram_hashes(df, id_col, text_col, n)
     rep = (grams.groupBy("gram_hash")
            .agg(F.countDistinct("doc_id").alias("ndocs"))
            .filter(F.col("ndocs") >= min_df))

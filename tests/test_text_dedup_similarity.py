@@ -369,3 +369,29 @@ def test_repeated_ngram_spans_planted(spark):
     # coverage always within [0, 1] and covered <= n_tokens
     for n_tok, covd, c in cov.values():
         assert 0 <= covd <= n_tok and 0.0 <= c <= 1.0
+
+
+def test_cross_corpus_contamination_planted(spark):
+    """Planted overlap: test doc 10 copies a full train 4-gram (hit),
+    doc 11 shares no window, doc 12 is too short for one full window."""
+    from ditto_spark.operators.dedup import cross_corpus_contamination
+
+    train = spark.createDataFrame(
+        [(0, "the quick brown fox jumps over the lazy dog"),
+         (2, "completely different training content here")],
+        "doc_id long, text string")
+    test = spark.createDataFrame(
+        [(10, "note the quick brown fox appears here"),
+         (11, "nothing shared with training at all whatsoever"),
+         (12, "too short")],
+        "doc_id long, text string")
+    out = {r.doc_id: r for r in cross_corpus_contamination(
+        train, test, "doc_id", "text", n=4, min_hits=1).collect()}
+    assert len(out) == 3
+    # doc 10: 4 windows of its 7 tokens; exactly "the quick brown fox"
+    # is a train window
+    assert out[10].n_grams == 4 and out[10].n_hit_grams == 1
+    assert out[10].contaminated == 1 and out[10].hit_fraction == 0.25
+    assert out[11].contaminated == 0 and out[11].n_hit_grams == 0
+    assert out[12].n_grams == 0 and out[12].contaminated == 0
+    assert out[12].hit_fraction == 0.0
