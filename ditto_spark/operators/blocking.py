@@ -511,8 +511,12 @@ def blocking_quality(
             F.greatest(F.col(left_col), F.col(right_col)).alias("r"),
         ).distinct()
 
-    c = canon(candidates)
-    t = canon(truth)
+    # each canonical set feeds TWO consumers (its count and the hit
+    # join); registry-cached so the upstream blocking/truth DAG — the
+    # expensive part — executes once, released with the other operator
+    # caches (cachereg scoping)
+    c = cache_registered(canon(candidates))
+    t = cache_registered(canon(truth))
     hits = t.join(c, ["l", "r"], "left_semi")
     allp = (F.col("n_docs").cast("double")
             * (F.col("n_docs") - 1).cast("double") / 2.0)
@@ -551,6 +555,10 @@ def lsh_tuning_curve(
     ratio) on THEIR corpus. The config loop is driver-side over a
     handful of literals — the per-config work is fully distributed and
     the signature shuffle shape is identical across configs."""
+    # truth feeds every config's quality row — cache it once here so
+    # the sweep pays the (expensive) truth DAG a single time instead of
+    # once per banding
+    truth = cache_registered(truth)
     out = None
     for bands in band_configs:
         mh = minhash_lsh_blocking(

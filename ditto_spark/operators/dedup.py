@@ -13,6 +13,9 @@ each operator has an exact DuckDB oracle.
   simhash_near_dups      banded hamming-distance candidate join
   embedding_near_dups    cosine >= threshold pair join (see similarity.py
                          for the top-k/ANN path)
+  repeated_ngram_spans   cross-doc repeated exact n-token windows
+  repeated_span_coverage per-doc repeated-window coverage fraction
+  cross_corpus_contamination  train/test n-gram overlap (decontamination)
 
 Scale notes: every pair generator keys its join on a bounded-fanout key
 (shingle, LSH band, simhash band), shuffles once on that key, and caps
