@@ -109,3 +109,39 @@ def test_incremental_ann_pruned_and_idempotent(spark, tmp_path):
     again = sorted(map(tuple,
                        spark.read.parquet(f"{wd}/topk").collect()))
     assert again == first
+
+
+def test_incremental_ann_resume_same_checkpoint(spark, tmp_path):
+    """Restart contract: drain wave 1, then add wave 2 and drain again
+    with the SAME checkpoint — the resumed stream processes only the
+    new files, and the final store equals a single-pass run over both
+    waves."""
+    batches = _vec_batches(seed=23, n_batches=2, per_batch=10)
+    src = str(tmp_path / "in")
+    wd, ck = str(tmp_path / "work"), str(tmp_path / "ck")
+
+    def drain():
+        stream = (spark.readStream.schema(SCHEMA)
+                  .option("maxFilesPerTrigger", 1).parquet(src))
+        incremental_ann_topk(spark, stream, wd, ck, k=2, n_bits=3,
+                             multiprobe=False, n_store_buckets=8)
+
+    (spark.createDataFrame(batches[0], SCHEMA).coalesce(1)
+     .write.mode("append").parquet(src))
+    drain()
+    after_w1 = spark.read.parquet(f"{wd}/topk")
+    assert after_w1.select("batch").distinct().count() == 1
+
+    (spark.createDataFrame(batches[1], SCHEMA).coalesce(1)
+     .write.mode("append").parquet(src))
+    drain()
+    resumed = sorted(map(tuple, spark.read.parquet(f"{wd}/topk").collect()))
+
+    # single-pass reference over the same two waves
+    wd2, ck2 = str(tmp_path / "work2"), str(tmp_path / "ck2")
+    stream = (spark.readStream.schema(SCHEMA)
+              .option("maxFilesPerTrigger", 1).parquet(src))
+    incremental_ann_topk(spark, stream, wd2, ck2, k=2, n_bits=3,
+                         multiprobe=False, n_store_buckets=8)
+    single = sorted(map(tuple, spark.read.parquet(f"{wd2}/topk").collect()))
+    assert resumed == single
