@@ -55,3 +55,27 @@ def test_key_blocking_null_and_empty_keys_filtered(spark):
         "doc_id string, text string, k string")
     pairs = key_blocking(df, F.col("k")).collect()
     assert {(p.left_id, p.right_id) for p in pairs} == {("a", "d")}
+
+def test_contamination_pathological_inputs(spark):
+    """Empty / whitespace-only / unicode texts and a verbatim train
+    copy flow through the contamination check without error and with
+    the right verdicts."""
+    from ditto_spark.operators.dedup import cross_corpus_contamination
+
+    train = spark.createDataFrame(
+        [(0, "café naïve résumé 模型 训练 数据 去重 检查"),
+         (2, ""), (4, "   ")],
+        "doc_id long, text string")
+    test = spark.createDataFrame(
+        [(1, "café naïve résumé 模型 训练 数据 去重 检查"),  # verbatim copy
+         (3, ""), (5, "   "), (7, "fully novel text nothing shared here")],
+        "doc_id long, text string")
+    out = {r.doc_id: r for r in cross_corpus_contamination(
+        train, test, "doc_id", "text", n=4).collect()}
+    assert set(out) == {1, 3, 5, 7}
+    # the verbatim copy: every window hits
+    assert out[1].contaminated == 1 and out[1].hit_fraction == 1.0
+    # empty/whitespace docs: zero windows, clean, fraction 0
+    for d in (3, 5):
+        assert out[d].n_grams == 0 and out[d].contaminated == 0
+    assert out[7].contaminated == 0
