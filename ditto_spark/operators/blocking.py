@@ -530,8 +530,13 @@ def blocking_quality(
             F.round(F.col("n_hit")
                     / F.greatest(F.col("n_truth"), F.lit(1)).cast("double"),
                     6).alias("pair_completeness"),
-            F.round(1.0 - F.col("n_candidates") / allp,
-                    6).alias("reduction_ratio"),
+            # n_docs < 2 => empty comparison space: a blocker that
+            # emitted nothing pruned nothing, so report 0.0 (ADVICE r5
+            # — the unguarded n·(n-1)/2 denominator was 0 here and the
+            # metric came back null/NaN instead of a defined value)
+            F.when(F.col("n_docs") >= 2,
+                   F.round(1.0 - F.col("n_candidates") / allp, 6))
+            .otherwise(F.lit(0.0)).alias("reduction_ratio"),
         )
     )
 

@@ -34,7 +34,7 @@ from ditto_spark.operators.hashing import porthash
 # memo goes stale — cleared by ``session.clear_operator_caches`` with
 # the rest of the between-runs operator state, and bounded so a
 # long-lived session cannot grow it without limit.
-_probe_cache: dict[tuple[int, int], bool] = {}
+_probe_cache: dict[tuple[int, int], tuple[DataFrame, bool]] = {}
 
 
 def clear_probe_cache() -> None:
@@ -46,13 +46,27 @@ def _probe_exceeds(df: DataFrame, max_rows: int) -> bool:
     """True iff ``df`` has more than ``max_rows`` rows, established by a
     bounded limit(n+1) scan (early-terminates after n+1 rows — a full
     .count() on a 10^12-row table is itself a job), memoized per
-    analyzed-plan fingerprint."""
+    analyzed-plan fingerprint.
+
+    The 32-bit ``semanticHash`` alone is not a safe key: a cross-plan
+    collision would silently route a DIFFERENT query down the wrong
+    exact-vs-ANN path (ADVICE r5), so each hit is verified with
+    ``sameSemantics`` against the DataFrame that populated the entry —
+    a driver-side plan comparison, no job — and a colliding plan simply
+    re-probes uncached. Staleness (same path overwritten mid-session)
+    is a scoping contract: bench repeats and the CheckpointStore call
+    ``session.clear_operator_caches`` between runs, which drops this
+    memo with the rest of the operator state; a caller that overwrites
+    an input mid-session must do the same."""
     key = (df.semanticHash(), max_rows)
-    if key not in _probe_cache:
-        if len(_probe_cache) > 256:
-            _probe_cache.clear()
-        _probe_cache[key] = df.limit(max_rows + 1).count() > max_rows
-    return _probe_cache[key]
+    hit = _probe_cache.get(key)
+    if hit is not None and df.sameSemantics(hit[0]):
+        return hit[1]
+    if len(_probe_cache) > 256:
+        _probe_cache.clear()
+    result = df.limit(max_rows + 1).count() > max_rows
+    _probe_cache[key] = (df, result)
+    return result
 
 
 def hashed_bow_embed(df: DataFrame, id_col: str, text_col: str,

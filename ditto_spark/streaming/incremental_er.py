@@ -85,7 +85,21 @@ def _check_bucket_meta(spark: SparkSession, store_dir: str,
     partitions laid out under another count would silently drop rows —
     corrupt results, not an error. Cheap (one FS stat per stream
     start-up is amortized; this runs per foreachBatch call, one
-    metadata read)."""
+    metadata read).
+
+    The marker is minted ONLY when the store root does not exist yet or
+    holds no data (underscore-prefixed metadata entries only). A
+    non-empty store WITHOUT a marker — a pre-marker-scheme store, or a
+    builder that crashed between its data write and its marker write —
+    is refused outright (ADVICE r5): auto-minting from the READER's
+    parameter would certify whatever count the first reader happened to
+    pass, and if that differs from the count the data was laid out
+    with, every later pruned read silently drops rows — the exact
+    failure the marker exists to prevent. Recovery for a refused store:
+    re-run its builder (``build_corpus_index`` overwrites; a stream
+    work_dir is marked before any data lands, so only out-of-band
+    stores hit this).
+    """
     sc = spark.sparkContext
     jvm = sc._jvm
     hconf = sc._jsc.hadoopConfiguration()
@@ -94,6 +108,7 @@ def _check_bucket_meta(spark: SparkSession, store_dir: str,
     # the count is encoded in an empty marker DIRECTORY name (underscore
     # prefix -> invisible to parquet partition discovery); name-encoding
     # avoids stream IO and is atomic on every Hadoop FS
+    has_data = False
     if fs.exists(root):
         for status in fs.listStatus(root):
             name = status.getPath().getName()
@@ -107,8 +122,35 @@ def _check_bucket_meta(spark: SparkSession, store_dir: str,
                         "drop rows. Use the original count (or rebucket "
                         "the store offline).")
                 return
+            if not name.startswith(("_", ".")):
+                has_data = True
+        if has_data:
+            raise ValueError(
+                f"store {store_dir} holds data but no _n_buckets marker; "
+                "certifying it with this run's n_buckets="
+                f"{n_buckets} could silently prune to the wrong "
+                "partitions if the data was laid out under a different "
+                "count. Rebuild the store (its builder writes the "
+                "marker), or restore the marker directory "
+                "_n_buckets=<original count> by hand if the original "
+                "count is known.")
     fs.mkdirs(jvm.org.apache.hadoop.fs.Path(
         f"{store_dir}/_n_buckets={n_buckets}"))
+
+
+def _read_bucket_marker(spark: SparkSession, store_dir: str) -> int | None:
+    """The ``_n_buckets`` count pinned under ``store_dir``, or None if
+    no marker exists (missing or pre-marker store)."""
+    sc = spark.sparkContext
+    root = sc._jvm.org.apache.hadoop.fs.Path(store_dir)
+    fs = root.getFileSystem(sc._jsc.hadoopConfiguration())
+    if not fs.exists(root):
+        return None
+    for status in fs.listStatus(root):
+        name = status.getPath().getName()
+        if name.startswith("_n_buckets="):
+            return int(name.split("=", 1)[1])
+    return None
 
 
 def _in_buckets(col: str, buckets: list[int]) -> Column:
@@ -131,6 +173,19 @@ def build_corpus_index(
     (each partition executor-memory-sized); the count is pinned in a
     marker so a reader with a mismatched count fails fast instead of
     pruning wrong."""
+    spark = corpus_docs.sparkSession
+    # overwrite = explicit delete, then MARKER BEFORE DATA (ADVICE r5):
+    # a crash mid-build leaves a marked (possibly partial) store, never
+    # an unmarked non-empty one, so readers can always validate their
+    # bucket count; a mode("overwrite") write would first delete the
+    # marker and then land data ahead of it, leaving exactly the
+    # unmarked window _check_bucket_meta now refuses.
+    sc = spark.sparkContext
+    root = sc._jvm.org.apache.hadoop.fs.Path(path)
+    fs = root.getFileSystem(sc._jsc.hadoopConfiguration())
+    if fs.exists(root):
+        fs.delete(root, True)
+    _check_bucket_meta(spark, path, n_buckets)
     ser = corpus_docs.withColumn(
         "text", serialize_spans(F.col("spans"), drop_empty=True))
     keys = minhash_band_buckets(ser, "doc_id", "text", n_hashes, bands,
@@ -140,8 +195,7 @@ def build_corpus_index(
      .select(F.col("id").alias("corpus_id"),
              F.col("text").alias("corpus_text"), "block_key",
              _bk_bucket(n_buckets).alias("bk_bucket"))
-     .write.mode("overwrite").partitionBy("bk_bucket").parquet(path))
-    _check_bucket_meta(corpus_docs.sparkSession, path, n_buckets)
+     .write.mode("append").partitionBy("bk_bucket").parquet(path))
 
 
 def incremental_matches(
@@ -307,6 +361,33 @@ def compact_entity_labels(spark: SparkSession, labels_path: str,
         return 0
     max_batch = int(row["m"])
     bucketed = "doc_bucket" in df.columns
+    if bucketed:
+        # the docstring invites out-of-band periodic calls, so this
+        # entry point must enforce the same bucket-count contract as
+        # the stream entry points (ADVICE r5): rewriting the snapshot
+        # with a count other than the one the store was laid out with
+        # would put rows in wrong hash partitions and every later
+        # pruned resolve would silently miss them. The marker lives in
+        # the stream's work_dir — the PARENT of labels/.
+        sc = spark.sparkContext
+        parent = (sc._jvm.org.apache.hadoop.fs.Path(labels_path)
+                  .getParent().toString())
+        marked = _read_bucket_marker(spark, parent)
+        if marked is None:
+            raise ValueError(
+                f"cannot compact bucketed store {labels_path}: no "
+                f"_n_buckets marker found in its work_dir {parent}, so "
+                f"the layout count is unknown and compacting with "
+                f"n_buckets={n_buckets} could rewrite rows into wrong "
+                "hash partitions. Restore the marker directory "
+                "_n_buckets=<original count> in the work_dir first.")
+        if marked != n_buckets:
+            raise ValueError(
+                f"store under {parent} is laid out with n_buckets="
+                f"{marked}; compacting with n_buckets={n_buckets} would "
+                "rewrite the snapshot into wrong hash partitions and "
+                "later pruned resolves would silently miss rows. Pass "
+                f"n_buckets={marked}.")
     resolved = read_entity_labels(spark, labels_path, before_batch)
     # materialize BEFORE any write: the snapshot must not re-read the
     # store while new files are landing in it
