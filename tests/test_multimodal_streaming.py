@@ -132,3 +132,50 @@ def test_incremental_er_stream(spark, tmp_path):
     stream2 = spark.readStream.schema(DOC_SCHEMA).parquet(src)
     incremental_matches(spark, stream2, idx, out, ck)
     assert spark.read.parquet(out).count() == n1
+
+
+def test_incremental_matches_cross_batch_new_new(spark, tmp_path):
+    """Two streamed docs that duplicate EACH OTHER (neither is in the
+    corpus) must match even when they arrive in DIFFERENT micro-batches
+    — the accumulated stream-side index makes later batches probe
+    earlier arrivals (VERDICT r5 #4: the static-corpus-only design
+    could never produce this pair). Same-batch new-new pairs must
+    surface exactly once despite firing from both probe sides."""
+    from ditto_spark.schema import DOC_SCHEMA
+    from ditto_spark.streaming.incremental_er import (
+        build_corpus_index,
+        incremental_matches,
+    )
+    from ditto_spark.synth import docs_df
+
+    corpus = docs_df(spark, n_entities=10, seed=9)
+    idx = str(tmp_path / "index")
+    build_corpus_index(corpus, idx)
+
+    novel = [("kind", "wholly novel chrono gadget alpha beta gamma "
+              "delta epsilon zeta", None, 0)]
+    src = str(tmp_path / "stream_in")
+    # file 1 -> batch 0: s1 + its same-batch twin s1b
+    (spark.createDataFrame([("s1", novel), ("s1b", novel)], DOC_SCHEMA)
+     .coalesce(1).write.mode("append").parquet(src))
+    # file 2 -> batch 1: s2, a cross-batch twin of s1/s1b
+    (spark.createDataFrame([("s2", novel)], DOC_SCHEMA)
+     .coalesce(1).write.mode("append").parquet(src))
+
+    stream = (spark.readStream.schema(DOC_SCHEMA)
+              .option("maxFilesPerTrigger", 1).parquet(src))
+    out, ck = str(tmp_path / "matches"), str(tmp_path / "ck")
+    incremental_matches(spark, stream, idx, out, ck)
+
+    got = spark.read.parquet(out).filter("match = 1")
+    pairs = [frozenset((r.left_id, r.right_id)) for r in got.collect()]
+    want = {frozenset(p) for p in
+            [("s1", "s1b"), ("s1", "s2"), ("s1b", "s2")]}
+    stream_pairs = [p for p in pairs if p in want]
+    assert set(stream_pairs) == want          # cross-batch pairs found
+    assert len(stream_pairs) == len(set(stream_pairs))  # no dupes
+    # the newer doc probes: cross-batch rows carry it on the left
+    lefts = {r.left_id for r in got.collect()
+             if frozenset((r.left_id, r.right_id)) in
+             {frozenset(("s1", "s2")), frozenset(("s1b", "s2"))}}
+    assert lefts == {"s2"}

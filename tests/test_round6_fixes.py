@@ -137,6 +137,46 @@ def test_compact_verifies_marker_and_compacts(spark, tmp_path):
 
 
 # ---------------------------------------------------------------------------
+# atomic checkpoint manifests
+# ---------------------------------------------------------------------------
+
+def test_truncated_manifest_recomputes_byte_identical(spark, tmp_path):
+    """A crash mid-manifest-write (simulated by truncating the JSON)
+    must mean recompute-next-run, not a raised JSONDecodeError; the
+    recomputed stage's output equals the original, and the repaired
+    manifest resumes again. Manifest publish is temp-file + os.replace,
+    so no .tmp litter survives a successful run."""
+    from ditto_spark.sources.checkpoint import CheckpointStore
+
+    base = str(tmp_path / "ck")
+
+    def build():
+        return spark.range(10).toDF("id")
+
+    s1 = CheckpointStore(spark, base)
+    rows1 = sorted(r["id"] for r in s1.stage("s", "fp1", build).collect())
+    assert s1.recomputed == ["s"]
+    assert not [n for n in os.listdir(base) if ".tmp." in n]
+
+    s2 = CheckpointStore(spark, base)
+    s2.stage("s", "fp1", build)
+    assert s2.recomputed == []  # clean resume
+
+    mpath = s2._manifest("s")
+    content = open(mpath).read()
+    with open(mpath, "w") as f:
+        f.write(content[: len(content) // 2])  # truncated mid-dump
+    s3 = CheckpointStore(spark, base)
+    rows3 = sorted(r["id"] for r in s3.stage("s", "fp1", build).collect())
+    assert s3.recomputed == ["s"]  # recompute, no raise
+    assert rows3 == rows1
+
+    s4 = CheckpointStore(spark, base)
+    s4.stage("s", "fp1", build)
+    assert s4.recomputed == []  # repaired manifest resumes again
+
+
+# ---------------------------------------------------------------------------
 # probe-memo collision safety
 # ---------------------------------------------------------------------------
 

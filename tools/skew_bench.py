@@ -92,7 +92,76 @@ def leg(spark, path: str, cfg, label: str, n_docs: int) -> dict:
     return out
 
 
+def boilerplate_main() -> None:
+    """Boilerplate-skew endurance for the LLM near-dup wrapper (VERDICT
+    r5 #1): a corpus where ``blob_rows`` docs are trivial variants of
+    ONE boilerplate template — they land in the same band buckets, so
+    the uncapped join goes blob² on a single key. Measures the capped
+    default vs the uncapped exactness baseline: pair volume and wall.
+
+    Usage:
+        PYTHONPATH=/root/repo python tools/skew_bench.py --neardup \
+            [n_docs=50000] [blob_rows=4000]
+    """
+    from ditto_spark.operators.dedup import minhash_near_dups
+
+    n_docs = int(sys.argv[2]) if len(sys.argv) > 2 else 50_000
+    blob = int(sys.argv[3]) if len(sys.argv) > 3 else 4_000
+    spark = get_spark("neardup-skew", cores=32, shuffle_partitions=64)
+
+    # unique tail: hash-derived word soup; boilerplate head: one legal
+    # disclaimer template with a per-doc trailing serial token (>=97%
+    # shingles shared -> identical MinHash band keys with high prob.)
+    template = ("this document is provided as is without warranty of any "
+                "kind express or implied including but not limited to "
+                "the warranties of merchantability fitness for a "
+                "particular purpose and noninfringement in no event "
+                "shall the authors be liable for any claim damages or "
+                "other liability serial")
+    uniq = spark.range(n_docs - blob).select(
+        F.concat(F.lit("u"), F.col("id")).alias("id"),
+        F.concat_ws(" ", *[
+            F.conv(F.substring(F.md5(F.concat(F.col("id"), F.lit(i))),
+                               1, 12), 16, 36)
+            for i in range(12)]).alias("text"))
+    blob_df = spark.range(blob).select(
+        F.concat(F.lit("b"), F.col("id")).alias("id"),
+        F.concat(F.lit(template), F.lit(" "),
+                 F.col("id").cast("string")).alias("text"))
+    path = f"/tmp/ditto_spark_neardup_skew_{n_docs}_{blob}"
+    if not os.path.exists(os.path.join(path, "_SUCCESS")):
+        shutil.rmtree(path, ignore_errors=True)
+        uniq.unionByName(blob_df).write.parquet(path)
+    docs = spark.read.parquet(path)
+
+    def one(label: str, cap: int | None) -> dict:
+        t0 = time.monotonic()
+        pairs = minhash_near_dups(docs, "id", "text",
+                                  max_bucket_rows=cap).count()
+        wall = time.monotonic() - t0
+        out = {"leg": label, "cap": cap, "pairs": pairs,
+               "wall_sec": round(wall, 1)}
+        print(json.dumps(out), flush=True)
+        clear_operator_caches(spark)
+        return out
+
+    one("warmup_discard", 1000)
+    capped = one("capped_default", 1000)
+    uncapped = one("uncapped_baseline", None)
+    print(json.dumps({
+        "metric": "neardup_boilerplate_skew",
+        "n_docs": n_docs, "blob_rows": blob,
+        "uncapped_pairs": uncapped["pairs"],
+        "capped_pairs": capped["pairs"],
+        "wall_ratio_uncapped_vs_capped": round(
+            uncapped["wall_sec"] / max(capped["wall_sec"], 1e-9), 2),
+    }), flush=True)
+
+
 def main() -> None:
+    if len(sys.argv) > 1 and sys.argv[1] == "--neardup":
+        boilerplate_main()
+        return
     n_docs = int(sys.argv[1]) if len(sys.argv) > 1 else 300_000
     hot = float(sys.argv[2]) if len(sys.argv) > 2 else 0.01
     scorer = sys.argv[3] if len(sys.argv) > 3 else "prod"
