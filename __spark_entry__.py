@@ -418,6 +418,53 @@ def _er_serialize_flat(spark, sf_dir):
     ).select("c_custkey", "text")
 
 
+def _er_table_roundtrip(spark, sf_dir):
+    """S1 catalog parity (VERDICT r5 #1): documents parquet ->
+    ``saveAsTable`` into the session catalog (the in-sandbox stand-in
+    for a Hive/Iceberg metastore) -> ``read_table`` -> ``flat_to_docs``
+    (one span per attribute) -> full span serialization. The oracle
+    rebuilds the COL/VAL string straight from the raw parquet, so the
+    catalog hop and the flat->spans bridge must both be
+    content-transparent (hive_ditto_standalone.py:289-311)."""
+    from ditto_spark.operators.serialize import flat_to_docs, serialize_docs
+    from ditto_spark.sources.io import read_table
+
+    from ditto_spark.sources.io import drop_table
+
+    d = _t(spark, sf_dir, "documents")
+    drop_table(spark, "er_cat_documents")
+    d.write.saveAsTable("er_cat_documents")
+    t = read_table(spark, "er_cat_documents")
+    docs = flat_to_docs(t, id_col="doc_id",
+                        attr_cols=["text", "lang", "source", "n_chars"])
+    return serialize_docs(docs, drop_empty=True).select("doc_id", "text")
+
+
+def _er_table_prod_scores(spark, sf_dir):
+    """S1 production-layout catalog e2e (VERDICT r5 #1): a pre-paired
+    *_left/*_right metastore table -> ``run_table_pipeline`` auto-
+    detects 'production' -> ``split_production`` -> whole-stage-codegen
+    surrogate scoring (hive_ditto_standalone.py:68-115 detect +
+    :117-164 convert). Pairs = adjacent documents; ``use_dk=False`` so
+    the oracle shares the pipeline entries' scoring-math CTEs."""
+    from ditto_spark.plans.pipeline import PipelineConfig, run_table_pipeline
+
+    d = _t(spark, sf_dir, "documents")
+    a = d.filter(F.col("doc_id") % 2 == 0).select(
+        F.col("doc_id").alias("pid"), F.col("text").alias("text_left"))
+    b = d.select((F.col("doc_id") - 1).alias("pid"),
+                 F.col("text").alias("text_right"))
+    paired = a.join(b, "pid").select("pid", "text_left", "text_right")
+    from ditto_spark.sources.io import drop_table
+
+    drop_table(spark, "er_cat_paired")
+    paired.write.saveAsTable("er_cat_paired")
+    out = run_table_pipeline(spark, "er_cat_paired", id_col="pid",
+                             cfg=PipelineConfig(use_dk=False))
+    return out["scored"].select(
+        "left_id", "right_id", "match", F.round("p1", 6).alias("p1r"))
+
+
 def _er_labelgen_counts(spark, sf_dir):
     from ditto_spark.operators.labelgen import class_counts, labeled_pairs
 
@@ -1219,6 +1266,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sim_ann_lsh_multiprobe": _sim_ann_lsh_multiprobe,
         "sim_near_dups_lsh": _sim_near_dups_lsh,
         "er_stage_metrics": _er_stage_metrics,
+        "er_table_roundtrip": _er_table_roundtrip,
+        "er_table_prod_scores": _er_table_prod_scores,
     }
 
 
@@ -1919,6 +1968,8 @@ def oracle_sql() -> dict[str, str]:
         "sim_ann_lsh_multiprobe": _ann_lsh_multiprobe_oracle_sql(),
         "sim_near_dups_lsh": _near_dups_lsh_oracle_sql(),
         "er_stage_metrics": _stage_metrics_oracle_sql(),
+        "er_table_roundtrip": _table_roundtrip_oracle_sql(),
+        "er_table_prod_scores": _table_prod_scores_oracle_sql(),
     }
 
 
@@ -2032,7 +2083,15 @@ def _score_ctes(pair_source: str = "p0") -> str:
           FROM {pair_source} p
                JOIN ser sa ON sa.doc_id = p.left_id
                JOIN ser sb ON sb.doc_id = p.right_id),
-        vt AS (
+        {_score_math_ctes()}"""
+
+
+def _score_math_ctes() -> str:
+    """vt -> sc -> p1c: the surrogate-probability math over an existing
+    ``pairs(left_id, right_id, lt, rt)`` CTE (shared by the ser-joined
+    pipeline oracles and the pre-paired catalog-table oracle, which
+    carries its texts in the pair rows)."""
+    return f"""vt AS (
           SELECT left_id, right_id,
                  {_vt_sql('lt')} AS a, {_vt_sql('rt')} AS b
           FROM pairs),
@@ -2232,6 +2291,45 @@ def _lsh_tuning_curve_oracle_sql(band_configs=(2, 6, 12),
                  AS reduction_ratio
         FROM legs
         ORDER BY bands
+    """
+
+
+def _table_roundtrip_oracle_sql() -> str:
+    """COL/VAL serialization of the documents attributes rebuilt from
+    the raw parquet — the Spark side must read the same content back
+    through the metastore table and the flat->spans bridge."""
+    def piece(col: str) -> str:
+        v = f"trim(COALESCE(CAST({col} AS VARCHAR), ''))"
+        return f"CASE WHEN {v} != '' THEN 'COL {col} VAL ' || {v} END"
+
+    return f"""
+        SELECT CAST(doc_id AS VARCHAR) AS doc_id,
+               concat_ws(' ', {piece('text')}, {piece('lang')},
+                         {piece('source')}, {piece('n_chars')}) AS text
+        FROM documents
+    """
+
+
+def _table_prod_scores_oracle_sql() -> str:
+    """Pre-paired adjacent-document pairs scored with the surrogate
+    math CTEs; texts serialized inline (split_production's single-field
+    COL/VAL form), ids = L/R + the pair id column."""
+    lt = ("concat_ws(' ', CASE WHEN trim(COALESCE(a.text, '')) != '' "
+          "THEN 'COL text VAL ' || trim(a.text) END)")
+    rt = ("concat_ws(' ', CASE WHEN trim(COALESCE(b.text, '')) != '' "
+          "THEN 'COL text VAL ' || trim(b.text) END)")
+    return f"""
+        WITH pairs AS (
+          SELECT 'L' || CAST(a.doc_id AS VARCHAR) AS left_id,
+                 'R' || CAST(a.doc_id AS VARCHAR) AS right_id,
+                 {lt} AS lt, {rt} AS rt
+          FROM documents a JOIN documents b ON b.doc_id = a.doc_id + 1
+          WHERE a.doc_id % 2 = 0),
+        {_score_math_ctes()}
+        SELECT left_id, right_id,
+               CASE WHEN p > 0.5 THEN 1 ELSE 0 END AS match,
+               round(p, 6) AS p1r
+        FROM p1c
     """
 
 

@@ -29,6 +29,20 @@ def build_parser() -> argparse.ArgumentParser:
     p = argparse.ArgumentParser(prog="ditto_spark",
                                 description="PySpark ER pipeline")
     p.add_argument("--input", help="parquet dir with (doc_id, spans) docs")
+    p.add_argument("--table",
+                   help="catalog table to match instead of --input "
+                        "(db.t; layout auto-detected: flat 'testing' "
+                        "records run the full blocking pipeline, "
+                        "pre-paired *_left/*_right 'production' rows "
+                        "go straight to scoring)")
+    p.add_argument("--limit", type=int,
+                   help="LIMIT for --table (sampling dry-runs)")
+    p.add_argument("--id-col",
+                   help="id column of --table (default: doc_id/id if "
+                        "present, else deterministic content-hash ids)")
+    p.add_argument("--output-table",
+                   help="also save matches to this catalog table "
+                        "(set-based saveAsTable, reference result DDL)")
     p.add_argument("--synthetic", type=int, default=0,
                    help="generate N synthetic docs instead of --input")
     p.add_argument("--output", required=True, help="output dir")
@@ -74,8 +88,8 @@ def build_parser() -> argparse.ArgumentParser:
 
 def main(argv: list[str] | None = None) -> int:
     args = build_parser().parse_args(argv)
-    if not args.input and not args.synthetic:
-        print("need --input or --synthetic", file=sys.stderr)
+    if not args.input and not args.synthetic and not args.table:
+        print("need --input, --table or --synthetic", file=sys.stderr)
         return 2
 
     from ditto_spark.plans.pipeline import PipelineConfig, run_pipeline
@@ -85,7 +99,9 @@ def main(argv: list[str] | None = None) -> int:
 
     spark = get_spark("ditto_spark_cli",
                       cores=args.cores if args.cores else None)
-    if args.synthetic:
+    if args.table:
+        docs = None
+    elif args.synthetic:
         from ditto_spark.synth import distributed_docs
 
         docs = distributed_docs(spark, args.synthetic)
@@ -142,20 +158,36 @@ def main(argv: list[str] | None = None) -> int:
         )
     store = (CheckpointStore(spark, args.checkpoint)
              if args.checkpoint else None)
-    input_id = args.input or f"synthetic:{args.synthetic}"
     t0 = time.monotonic()
-    out = run_pipeline(spark, docs, cfg, store=store, input_id=input_id)
+    if args.table:
+        from ditto_spark.plans.pipeline import run_table_pipeline
+
+        out = run_table_pipeline(spark, args.table, cfg, store=store,
+                                 limit=args.limit, id_col=args.id_col,
+                                 output_table=args.output_table)
+    else:
+        input_id = args.input or f"synthetic:{args.synthetic}"
+        out = run_pipeline(spark, docs, cfg, store=store,
+                           input_id=input_id)
+        if args.output_table:
+            from ditto_spark.sources.io import write_matches_catalog_table
+
+            write_matches_catalog_table(out["matches"], args.output_table)
     write_matches_table(out["matches"], f"{args.output}/matches")
-    out["entities"].write.mode("overwrite").parquet(
-        f"{args.output}/entities")
-    n_docs = out["entities"].count()
     stats = {
-        "docs": n_docs,
         "matches": out["matches"].filter("match = 1").count(),
-        "entities": out["entities"].select("entity_id").distinct().count(),
         "wall_sec": round(time.monotonic() - t0, 2),
     }
-    stats["docs_per_sec"] = round(n_docs / stats["wall_sec"], 1)
+    if "entities" in out:  # production-layout tables have no clustering
+        out["entities"].write.mode("overwrite").parquet(
+            f"{args.output}/entities")
+        n_docs = out["entities"].count()
+        stats["docs"] = n_docs
+        stats["entities"] = (out["entities"].select("entity_id")
+                             .distinct().count())
+        stats["docs_per_sec"] = round(n_docs / stats["wall_sec"], 1)
+    if args.table:
+        stats["layout"] = out["layout"]
     print(json.dumps(stats))
     return 0
 

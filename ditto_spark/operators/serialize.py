@@ -148,6 +148,96 @@ def serialize_flat(df: DataFrame, attr_cols: list[str],
     return df.withColumn(out_col, F.concat_ws(" ", *pieces))
 
 
+def _with_content_rid(out: DataFrame, content: Column) -> DataFrame:
+    """Append a deterministic content-hash row id ``_rid``.
+
+    monotonically_increasing_id() is partition-dependent — ids would not
+    be stable across recomputations/reruns, breaking joins against
+    previously persisted output.
+
+    Width + duplicates: a single 60-bit porthash makes distinct-content
+    birthday collisions likely near ~10^9 rows and silently collapses
+    duplicate input rows to one id. Two seeded porthashes give ~120 bits
+    (collision-safe past 10^15 rows), and a row_number within each hash
+    disambiguates equal-content rows — duplicate rows are
+    interchangeable, so the *multiset* of ids stays deterministic across
+    partitionings even though which physical row takes which suffix is
+    arbitrary.
+
+    Shuffle shape: a window over every row would shuffle the WIDE
+    content just to suffix the rare duplicate rows. Instead aggregate
+    the NARROW hash column to find duplicated hashes (usually a tiny
+    set -> broadcast), leave unique-content rows untouched (suffix '-1'
+    in place), and run the row_number window only over the duplicate
+    subset."""
+    from pyspark.sql import Window
+
+    from ditto_spark.cachereg import cache_registered
+    from ditto_spark.operators.hashing import porthash_seed
+
+    h = F.concat_ws(
+        "", porthash_seed(content, 1).cast("string"),
+        F.lit("x"), porthash_seed(content, 2).cast("string"))
+    # cache the hashed projection: three consumers below (dup_hashes
+    # aggregation, left_anti, left_semi) would otherwise each re-run
+    # the full input scan + the double porthash over the wide content.
+    # Registered (not bare .cache()) so the caller's cache_scope /
+    # session cleanup releases it.
+    out = cache_registered(out.withColumn("_h", h))
+    dup_hashes = (out.groupBy("_h").count()
+                  .filter(F.col("count") > 1).select("_h"))
+    uniq = out.join(F.broadcast(dup_hashes), "_h", "left_anti") \
+        .withColumn("_rid", F.concat_ws("-", F.col("_h"), F.lit("1")))
+    dups = out.join(F.broadcast(dup_hashes), "_h", "left_semi") \
+        .withColumn(
+            "_rid",
+            F.concat_ws(
+                "-", F.col("_h"),
+                F.row_number().over(
+                    Window.partitionBy("_h").orderBy(F.lit(1))
+                ).cast("string")))
+    return uniq.unionByName(dups)
+
+
+def flat_to_docs(df: DataFrame, id_col: str | None = None,
+                 attr_cols: list[str] | None = None) -> DataFrame:
+    """Testing-layout flat record table -> the canonical (doc_id, spans)
+    docs frame — the catalog-table ingestion path
+    (hive_ditto_standalone.py:289-311's SELECT * -> record conversion).
+    Each attribute becomes one span (kind=column name, text=str(value),
+    offset=column position), so the WHOLE engine — serialization,
+    summarizer, DK, blocking, scoring, clustering, checkpointing —
+    applies to relational tables unchanged:
+    ``serialize_spans(drop_empty=True)`` over these spans produces
+    exactly ``serialize_flat``'s COL/VAL string.
+
+    ``id_col=None`` auto-uses a ``doc_id``/``id`` column when present,
+    else mints deterministic content-hash ids (``_with_content_rid`` —
+    the same stability/duplicate contract as ``split_production``)."""
+    cols = df.columns
+    if id_col is None:
+        id_col = next((c for c in ("doc_id", "id") if c in cols), None)
+    if attr_cols is None:
+        attr_cols = [c for c in cols if c != id_col]
+    spans = F.array(*[
+        F.struct(
+            F.lit(c).alias("kind"),
+            F.trim(F.coalesce(F.col(c).cast("string"), F.lit("")))
+            .alias("text"),
+            F.lit(None).cast("string").alias("media_ref"),
+            F.lit(i).cast("int").alias("offset"),
+        )
+        for i, c in enumerate(attr_cols)
+    ])
+    if id_col is not None:
+        return df.select(F.col(id_col).cast("string").alias("doc_id"),
+                         spans.alias("spans"))
+    out = _with_content_rid(df.select(spans.alias("spans")),
+                            F.to_json(F.col("spans")))
+    return out.select(F.concat(F.lit("r"), F.col("_rid")).alias("doc_id"),
+                      "spans")
+
+
 def split_production(df: DataFrame, id_col: str | None = None) -> DataFrame:
     """Pre-paired *_left/*_right table -> (left_id, right_id, left_text,
     right_text) candidates (hive_ditto_standalone.py:117-164): two
@@ -182,54 +272,8 @@ def split_production(df: DataFrame, id_col: str | None = None) -> DataFrame:
         *([F.col(id_col).cast("string").alias("_rid")] if id_col else []),
     )
     if id_col is None:
-        # deterministic pair id: content hash of the serialized pair.
-        # monotonically_increasing_id() is partition-dependent — labels
-        # would not be stable across recomputations/reruns, breaking
-        # joins against previously persisted match output.
-        #
-        # Width + duplicates: a single 60-bit porthash makes distinct-
-        # content birthday collisions likely near ~10^9 rows and silently
-        # collapses duplicate input rows to one pair id. Two seeded
-        # porthashes give ~120 bits (collision-safe past 10^15 rows), and
-        # a row_number within each hash disambiguates equal-content rows
-        # — duplicate rows are interchangeable, so the *multiset* of ids
-        # stays deterministic across partitionings even though which
-        # physical row takes which suffix is arbitrary.
-        from pyspark.sql import Window
-
-        from ditto_spark.operators.hashing import porthash_seed
-
-        # Keep the hot path shuffle-free: a window over every row would
-        # shuffle the WIDE pair texts just to suffix the rare duplicate
-        # rows. Instead aggregate the NARROW hash column to find
-        # duplicated hashes (usually a tiny set -> broadcast), leave
-        # unique-content rows untouched (suffix '-1' in place), and run
-        # the row_number window only over the duplicate subset.
-        content = F.concat_ws("\t", "left_text", "right_text")
-        h = F.concat_ws(
-            "", porthash_seed(content, 1).cast("string"),
-            F.lit("x"), porthash_seed(content, 2).cast("string"))
-        # cache the hashed projection: three consumers below (dup_hashes
-        # aggregation, left_anti, left_semi) would otherwise each re-run
-        # the full input scan + the double porthash over the wide
-        # concatenated pair texts. Registered (not bare .cache()) so the
-        # caller's cache_scope / session cleanup releases it.
-        from ditto_spark.cachereg import cache_registered
-
-        out = cache_registered(out.withColumn("_h", h))
-        dup_hashes = (out.groupBy("_h").count()
-                      .filter(F.col("count") > 1).select("_h"))
-        uniq = out.join(F.broadcast(dup_hashes), "_h", "left_anti") \
-            .withColumn("_rid", F.concat_ws("-", F.col("_h"), F.lit("1")))
-        dups = out.join(F.broadcast(dup_hashes), "_h", "left_semi") \
-            .withColumn(
-                "_rid",
-                F.concat_ws(
-                    "-", F.col("_h"),
-                    F.row_number().over(
-                        Window.partitionBy("_h").orderBy(F.lit(1))
-                    ).cast("string")))
-        out = uniq.unionByName(dups)
+        out = _with_content_rid(out,
+                                F.concat_ws("\t", "left_text", "right_text"))
     return out.select(
         F.concat(F.lit("L"), F.col("_rid")).alias("left_id"),
         F.concat(F.lit("R"), F.col("_rid")).alias("right_id"),

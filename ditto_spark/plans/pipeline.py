@@ -301,6 +301,109 @@ def run_pipeline(
     return _Stages(eager, {"entities": build_entities})
 
 
+def run_table_pipeline(
+    spark: SparkSession,
+    table: str | None = None,
+    cfg: PipelineConfig | None = None,
+    store: CheckpointStore | None = None,
+    limit: int | None = None,
+    id_col: str | None = None,
+    output_table: str | None = None,
+    df: DataFrame | None = None,
+):
+    """Catalog-table ER entry — full S1 parity with the reference's
+    production flow (hive_ditto_standalone.py:289-311 extract,
+    :68-115 layout detect, :371-454 result save):
+
+      SELECT * FROM <table> [LIMIT n]
+        -> strip ``tablename.column`` prefixes
+        -> layout auto-detect:
+             production (*_left/*_right pairs): split to pre-paired
+                 candidates (no blocking) -> score -> matches
+             testing (flat records): one span per attribute
+                 (``flat_to_docs``) -> the FULL docs pipeline
+                 (serialize/summarize/DK/block/score/cluster), stage-
+                 checkpointed when ``store`` is given
+        -> optional set-based result table (``output_table``)
+
+    Returns the stage dict (production: serialized-candidates 'scored'
+    + 'matches'; testing: everything ``run_pipeline`` returns) plus a
+    'layout' key. ``df`` substitutes an already-loaded frame for the
+    catalog read (tests; programmatic callers)."""
+    from ditto_spark.operators.serialize import (detect_layout,
+                                                 flat_to_docs,
+                                                 split_production,
+                                                 strip_column_prefixes)
+    from ditto_spark.sources.io import (read_table,
+                                        write_matches_catalog_table)
+
+    cfg = cfg or PipelineConfig()
+    if df is None:
+        df = read_table(spark, table, limit)
+    df = strip_column_prefixes(df)
+    layout = detect_layout(df)
+    input_id = f"table:{table}:limit={limit}"
+
+    if layout == "production":
+        # pre-paired rows: the engine's J5 path — no blocking join; the
+        # scorer consumes the split projections, with the same optional
+        # preprocessing the reference matcher applies per pair
+        # (matcher.py:51-60 to_str's dk/summarize flags)
+        def build_scored() -> DataFrame:
+            cands = split_production(df, id_col=id_col)
+            if cfg.use_dk:
+                cands = dk_inject_df(cands, ["left_text", "right_text"])
+            if cfg.ref_summarizer:
+                from ditto_spark.operators.summarize_ref import (
+                    build_ref_tfidf, summarize_pairs_ref,
+                )
+
+                corpus = (cands.select(F.col("left_text").alias("text"))
+                          .unionAll(cands.select(
+                              F.col("right_text").alias("text"))))
+                vocab = build_ref_tfidf(spark, corpus, text_col="text",
+                                        max_vocab=cfg.ref_tfidf_max_vocab)
+                cands = summarize_pairs_ref(
+                    cands, vocab, max_len=cfg.ref_summarizer_max_len)
+            if cfg.native_scorer and _native_capable(cfg.backend_factory):
+                from ditto_spark.operators.scoring import score_pairs_native
+
+                return score_pairs_native(cands, cfg.threshold)
+            return score_pairs(cands, cfg.threshold, cfg.backend_factory,
+                               num_partitions=cfg.score_partitions)
+
+        backend_name = (
+            getattr(cfg.backend_factory, "fingerprint", None)
+            or getattr(cfg.backend_factory, "__name__", None)
+            or type(cfg.backend_factory).__qualname__
+        )
+        fp = fingerprint_of("table-prod-score", input_id, id_col,
+                            cfg.threshold, backend_name, cfg.use_dk,
+                            cfg.ref_summarizer, cfg.ref_summarizer_max_len)
+        if store is None:
+            from ditto_spark.cachereg import cache_scope
+
+            with cache_scope():
+                scored = build_scored().localCheckpoint(eager=True)
+        else:
+            scored = store.stage("scored", fp, build_scored)
+        out = {
+            "layout": "production",
+            "scored": scored,
+            "matches": scored.select("left_id", "right_id", "match",
+                                     "match_confidence"),
+        }
+    else:
+        docs = flat_to_docs(df, id_col=id_col)
+        out = run_pipeline(spark, docs, cfg, store=store,
+                           input_id=input_id)
+        out["layout"] = "testing"
+
+    if output_table:
+        write_matches_catalog_table(out["matches"], output_table)
+    return out
+
+
 def _preprocess(spark: SparkSession, docs: DataFrame,
                 cfg: PipelineConfig) -> DataFrame:
     out = serialize_docs(docs, drop_empty=True).select("doc_id", "text")

@@ -71,6 +71,13 @@ def get_spark(
                 os.environ.get("SPARK_DRIVER_JAVA_OPTS",
                                "-XX:+UseParallelGC -XX:NewRatio=1"))
         .config("spark.ui.enabled", "false")
+        # catalog-table surface (S1): managed tables land here when no
+        # external metastore/warehouse is configured. Env-overridable;
+        # a real deployment points this (or its Iceberg/Hive catalog
+        # equivalents) at durable storage via spark-submit --conf.
+        .config("spark.sql.warehouse.dir",
+                os.environ.get("SPARK_WAREHOUSE_DIR",
+                               "/tmp/ditto_spark_warehouse"))
         .config("spark.sql.files.maxPartitionBytes", str(128 * 1024 * 1024))
         # cluster-mode equivalent of the BLAS pinning above (local mode
         # inherits os.environ; real executors need executorEnv)

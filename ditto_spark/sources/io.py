@@ -1,5 +1,7 @@
 """Readers/writers for the reference's file formats (SURVEY.md §2.1).
 
+  S1 catalog table scan  SELECT * FROM t [LIMIT]  hive_ditto_standalone
+                         (read_table)             .py:289-311
   S2 TSV labeled pairs   left\\tright\\tlabel      dataset.py:37-48
   S3 JSONL candidates    [left, right] arrays or {left,right,id} objects
                          matcher.py:162-177; csv_to_all_pairs.py:98-110
@@ -26,6 +28,66 @@ from pyspark.sql.types import (
     StructField,
     StructType,
 )
+
+def read_table(spark: SparkSession, table: str,
+               limit: int | None = None) -> DataFrame:
+    """S1 catalog scan: ``SELECT * FROM <table> [LIMIT n]``
+    (hive_ditto_standalone.py:289-311's extract_hive_data, minus the
+    collect-to-pandas hop — the scan stays a distributed DataFrame, so
+    catalog-side partition pruning / column pruning apply downstream).
+    ``table`` is any catalog-resolvable name (``db.t``, ``t``, or a
+    fully qualified ``catalog.db.t`` — Iceberg/Hive/in-memory alike)."""
+    df = spark.read.table(table)
+    return df.limit(limit) if limit else df
+
+
+def drop_table(spark: SparkSession, table: str) -> None:
+    """``DROP TABLE IF EXISTS`` that is robust to an EPHEMERAL catalog
+    (Spark's default in-memory catalog, and any metastore lost between
+    runs): the SQL drop only clears a managed table's location when the
+    catalog still REMEMBERS the table; a fresh session's catalog does
+    not, leaving an orphaned warehouse directory that fails the next
+    ``saveAsTable`` with LOCATION_ALREADY_EXISTS. After the SQL drop,
+    delete the warehouse-derived managed location if it survived. A
+    persistent (Hive/Iceberg) metastore's drop already removed it —
+    then this is a pure no-op exists() check."""
+    spark.sql(f"DROP TABLE IF EXISTS {table}")
+    wh = spark.conf.get("spark.sql.warehouse.dir", "")
+    if not wh:
+        return
+    parts = table.split(".")
+    name = parts[-1].lower()
+    db = (parts[-2].lower() if len(parts) >= 2
+          else spark.catalog.currentDatabase().lower())
+    rel = name if db == "default" else f"{db}.db/{name}"
+    sc = spark.sparkContext
+    p = sc._jvm.org.apache.hadoop.fs.Path(f"{wh.rstrip('/')}/{rel}")
+    fs = p.getFileSystem(sc._jsc.hadoopConfiguration())
+    if fs.exists(p):
+        fs.delete(p, True)
+
+
+def write_matches_catalog_table(matches: DataFrame, table: str,
+                                mode: str = "overwrite") -> None:
+    """S7 catalog sink: ONE set-based ``saveAsTable`` with the
+    reference's result-table columns (hive_ditto_standalone.py:409-419
+    DDL) — replaces its per-row INSERT loop (:426-446), which at any
+    real scale is a driver-side O(rows) round-trip series. ``mode``:
+    'overwrite' replaces the result table (idempotent re-runs);
+    'append' matches the reference's INSERT-accumulate behavior."""
+    out = matches.select(
+        "left_id", "right_id",
+        F.col("match_confidence").alias("match_probability"),
+        (F.col("match") == 1).alias("is_match"),
+        F.current_timestamp().alias("created_at"),
+    )
+    if mode == "overwrite":
+        # clear an orphaned managed location an ephemeral catalog may
+        # have left behind (see drop_table) — overwrite semantics must
+        # not depend on the catalog remembering the previous run
+        drop_table(matches.sparkSession, table)
+    out.write.mode(mode).format("parquet").saveAsTable(table)
+
 
 PAIR_TSV_SCHEMA = StructType([
     StructField("left", StringType(), True),
