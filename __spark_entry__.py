@@ -687,7 +687,8 @@ def _q_events_lag_delta(spark, sf_dir):
 # ---------------------------------------------------------------------------
 
 _DK_SUFFIX = ("met maria at acme corp in tokyo on january 2021 "
-              "at 10:30 buying 5 kg of iphone stock")
+              "at 10:30 buying 5 kg of iphone stock with "
+              "Rossi Bianchi of Zorblax Inc in texas")
 
 
 def _er_dk_general(spark, sf_dir):
@@ -2010,6 +2011,14 @@ def _dk_general_oracle_sql() -> str:
         WHEN regexp_matches(__TI__,
              '^\\d{{1,2}}:\\d{{2}}(:\\d{{2}})?(am|pm)?$')
              THEN 'TIME'
+        WHEN regexp_matches(__TI__, '^[A-Z][a-z]+$')
+             AND NOT regexp_matches(coalesce(__TP__, ''), '^[A-Z][a-z]+$')
+             AND lower(coalesce(__TN__, '')) IN ({_sql_list(ORG_SUFFIX)})
+             THEN 'ORG'
+        WHEN regexp_matches(__TI__, '^[A-Z][a-z]+$')
+             AND NOT regexp_matches(coalesce(__TP__, ''), '^[A-Z][a-z]+$')
+             AND regexp_matches(coalesce(__TN__, ''), '^[A-Z][a-z]+$')
+             THEN 'PERSON'
         END"""
     norm = """CASE
         WHEN regexp_matches(__TI__, '^[-+]?\\d+$')
@@ -2026,7 +2035,9 @@ def _dk_general_oracle_sql() -> str:
         ELSE __TI__ END"""
     per_tok = (f"CASE WHEN ({label}) IS NOT NULL THEN ({label}) || ' ' || "
                f"({norm}) ELSE ({norm}) END")
-    per_tok = per_tok.replace("__TI__", "t[i]").replace("__TN__", "t[i+1]")
+    per_tok = (per_tok.replace("__TI__", "t[i]")
+               .replace("__TN__", "t[i+1]")
+               .replace("__TP__", "t[i-1]"))
     return f"""
         WITH enr AS (
           SELECT doc_id,

@@ -100,14 +100,25 @@ PERSON_FIRST = ("james mary john patricia robert jennifer michael linda "
                 "wei yuki ivan olga pierre hans anna luca sofia").split()
 ORG_SUFFIX = ("inc inc. corp corp. ltd ltd. llc llp gmbh plc co. srl "
               "s.a. ag ab oy nv bv kk pty").split()
+US_STATES = ("alabama alaska arizona arkansas california colorado "
+             "connecticut delaware florida georgia hawaii idaho illinois "
+             "indiana iowa kansas kentucky louisiana maine maryland "
+             "massachusetts michigan minnesota mississippi missouri "
+             "montana nebraska nevada ohio oklahoma oregon pennsylvania "
+             "tennessee texas utah vermont virginia washington wisconsin "
+             "wyoming").split()  # single-token states; two-word states
+#            (new york, north dakota, ...) fall to the title-case
+#            sequence rule below
 LOCATIONS = ("usa uk france germany japan china india brazil canada "
              "australia spain italy mexico russia egypt kenya argentina "
              "paris london berlin tokyo beijing mumbai toronto sydney "
              "madrid rome moscow cairo nairobi chicago boston seattle "
-             "austin denver dallas houston atlanta miami portland").split()
+             "austin denver dallas houston atlanta miami "
+             "portland").split() + US_STATES
 PRODUCTS = ("iphone ipad macbook xbox playstation thinkpad galaxy pixel "
             "kindle surface chromebook airpods walkman roomba").split()
 
+_TITLE_RE = r"^[A-Z][a-z]+$"
 _TIME_RE = r"^\d{1,2}:\d{2}(:\d{2})?(am|pm)?$"
 _DATE_NUM_RE = r"^(\d{4}-\d{2}-\d{2}|\d{1,2}/\d{1,2}/\d{2,4})$"
 _YEAR_RE = r"^(19|20)\d{2}$"
@@ -118,12 +129,25 @@ def _isin_lower(t: Column, words: list[str]) -> Column:
     return F.lower(t).isin(*words)
 
 
-def general_ner_label(t: Column, nxt: Column) -> Column:
-    """Entity label for a span STARTING at token ``t`` (``nxt`` is the
-    following token, for number+unit quantities), or NULL. Precedence
-    mirrors the reference's label set (knowledge.py:135-139); spans here
-    are single tokens except QUANTITY (number followed by a unit)."""
+def general_ner_label(t: Column, nxt: Column,
+                      prv: Column | None = None) -> Column:
+    """Entity label for a span STARTING at token ``t`` (``nxt``/``prv``
+    are the neighboring tokens), or NULL. Precedence mirrors the
+    reference's label set (knowledge.py:135-139).
+
+    Two recognition tiers (VERDICT r5 #8 — the statistical-NER analog):
+    gazetteers + numeric shapes first (exact, highest precision), then
+    TITLE-CASE SEQUENCES — a TitleCase token that *starts* a run (its
+    predecessor is not TitleCase) labels the span like spacy labels
+    multi-token entities at their start token only: ORG when the next
+    token is a corporate suffix, PERSON for a TitleCase bigram (the
+    dominant spacy label for capitalized name pairs). Run-continuation
+    tokens get no label, matching the reference's span-start-only
+    insertion (:145-147). With spacy available, swap this labeler out;
+    the insertion/normalization plumbing is unchanged."""
     is_num = t.rlike(_NUMERIC_RE)
+    title_start = t.rlike(_TITLE_RE) & (
+        F.lit(True) if prv is None else ~prv.rlike(_TITLE_RE))
     return (
         F.when(_isin_lower(t, PERSON_FIRST), F.lit("PERSON"))
         .when(_isin_lower(t, ORG_SUFFIX), F.lit("ORG"))
@@ -133,6 +157,8 @@ def general_ner_label(t: Column, nxt: Column) -> Column:
               | t.rlike(_DATE_NUM_RE) | t.rlike(_YEAR_RE), F.lit("DATE"))
         .when(is_num & _isin_lower(nxt, UNITS), F.lit("QUANTITY"))
         .when(t.rlike(_TIME_RE), F.lit("TIME"))
+        .when(title_start & _isin_lower(nxt, ORG_SUFFIX), F.lit("ORG"))
+        .when(title_start & nxt.rlike(_TITLE_RE), F.lit("PERSON"))
         .otherwise(F.lit(None).cast("string"))
     )
 
@@ -171,7 +197,12 @@ def dk_inject_general(col: Column) -> Column:
         # null (-> ''), not an ANSI out-of-bounds error
         nxt = F.coalesce(
             F.try_element_at(toks, (i + 2).cast("int")), F.lit(""))
-        label = general_ner_label(t, nxt)
+        # predecessor (1-based element i); index 0 is invalid, so the
+        # first token takes the '' guard branch -> run start
+        prv = F.coalesce(
+            F.when(i > 0, F.try_element_at(toks, i.cast("int"))),
+            F.lit(""))
+        label = general_ner_label(t, nxt, prv)
         norm = _general_norm(t)
         return F.when(label.isNotNull(),
                       F.concat(label, F.lit(" "), norm)).otherwise(norm)

@@ -177,11 +177,20 @@ class NumpyCrossEncoder:
         x = x * mask[..., None]
         hd = self.d_model // self.n_heads
         neg = np.float32(-1e9)
+
+        def b(key):
+            # optional projection biases: absent in the frozen fixture
+            # weights (make_weights), present in converted REAL
+            # checkpoints (HF encoders carry q/k/v/out biases —
+            # tools/convert_checkpoint.py maps them through; dropping
+            # them would silently skew every converted score)
+            return w[key] if key in w else np.float32(0.0)
+
         for i in range(self.n_layers):
             p = f"bert.encoder.layer.{i}."
-            q = x @ w[p + "attention.q.weight"].T
-            k = x @ w[p + "attention.k.weight"].T
-            v = x @ w[p + "attention.v.weight"].T
+            q = x @ w[p + "attention.q.weight"].T + b(p + "attention.q.bias")
+            k = x @ w[p + "attention.k.weight"].T + b(p + "attention.k.bias")
+            v = x @ w[p + "attention.v.weight"].T + b(p + "attention.v.bias")
             # (B, H, T, hd)
             def heads(m):
                 return m.reshape(B, T, self.n_heads, hd).transpose(
@@ -192,7 +201,8 @@ class NumpyCrossEncoder:
             att = _softmax(att, axis=-1)
             ctx = (att @ vh).transpose(0, 2, 1, 3).reshape(B, T,
                                                            self.d_model)
-            ctx = ctx @ w[p + "attention.out.weight"].T
+            ctx = (ctx @ w[p + "attention.out.weight"].T
+                   + b(p + "attention.out.bias"))
             x = _layer_norm(x + ctx, w[p + "attention.LayerNorm.weight"],
                             w[p + "attention.LayerNorm.bias"])
             f = _gelu(x @ w[p + "ffn.in.weight"].T + w[p + "ffn.in.bias"])

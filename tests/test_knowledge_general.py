@@ -44,6 +44,26 @@ CASES = [
     # empty + whitespace
     ("", ""),
     ("   ", ""),
+    # ---- title-case sequence tier (VERDICT r5 #8) ----
+    # TitleCase bigram -> PERSON at the span START only (the reference
+    # inserts the spacy label before the span start, never inside)
+    ("met Rossi Bianchi today", "met PERSON Rossi Bianchi today"),
+    # TitleCase + corporate suffix -> ORG at the start token (the
+    # suffix token keeps its own gazetteer ORG label, as in the
+    # 'acme ORG corp' case above)
+    ("supplier Zorblax Inc filed", "supplier ORG Zorblax ORG Inc filed"),
+    # gazetteer tiers outrank the title rules: Maria hits PERSON_FIRST,
+    # Rossi is a continuation (prev is TitleCase) -> unlabeled
+    ("met Maria Rossi today", "met PERSON Maria Rossi today"),
+    # a lone TitleCase token labels nothing (too noisy a signal)
+    ("the Widget arrived", "the Widget arrived"),
+    # month gazetteer outranks the bigram rule (case-insensitive)
+    ("due January Sale", "due DATE January Sale"),
+    # state gazetteer -> LOC
+    ("ships to texas now", "ships to LOC texas now"),
+    ("ships to Texas Austin", "ships to LOC Texas LOC Austin"),
+    # ALL-CAPS tokens are not TitleCase (COL/VAL markers stay inert)
+    ("COL name VAL Anna Smith", "COL name VAL PERSON Anna Smith"),
 ]
 
 
