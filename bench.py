@@ -101,7 +101,9 @@ def run_headline() -> dict:
             _materialize(qs[name](spark, SF_DIR))
             best = min(best, time.monotonic() - t0)
         times[name] = round(best, 3)
-    sf = 0.1 if "sf0.1" in SF_DIR else (0.01 if "sf0.01" in SF_DIR else 0.001)
+    sf = (1.0 if "sf1" in SF_DIR and "sf0" not in SF_DIR
+          else 0.1 if "sf0.1" in SF_DIR
+          else (0.01 if "sf0.01" in SF_DIR else 0.001))
     total = round(sum(times.values()), 3)
     return {
         "metric": "headline_queries_total_sec",
