@@ -56,14 +56,20 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--max-bucket-rows", type=int, default=200)
     p.add_argument("--cores", type=int, default=0,
                    help="local[N] cores (0 = existing/default session)")
-    p.add_argument("--backend", choices=["surrogate", "torch"],
+    p.add_argument("--backend", choices=["surrogate", "torch", "npz"],
                    default="surrogate",
-                   help="pair scorer: deterministic surrogate or a real "
-                        "Ditto torch checkpoint")
+                   help="pair scorer: deterministic surrogate, a real "
+                        "Ditto torch checkpoint, or a CONVERTED npz "
+                        "checkpoint (tools/convert_checkpoint.py) run "
+                        "by the numpy cross-encoder — no torch needed")
     p.add_argument("--model-checkpoint",
                    help="path to the Ditto model checkpoint "
-                        "(required with --backend torch); ship it to "
-                        "executors via --files or shared storage")
+                        "(required with --backend torch/npz); ship it "
+                        "to executors via --files or shared storage")
+    p.add_argument("--vocab",
+                   help="vocab.txt for --backend npz: tokenize with "
+                        "the checkpoint's real WordPiece vocabulary "
+                        "(BERT-family); omit for the hash tokenizer")
     p.add_argument("--lm", default="roberta-base",
                    help="HF language model name for --backend torch")
     p.add_argument("--task",
@@ -122,6 +128,26 @@ def main(argv: list[str] | None = None) -> int:
 
         # checkpoint fingerprints must see WHICH model scores the pairs
         backend_factory.fingerprint = f"torch:{ckpt}:{lm}"
+    elif args.backend == "npz":
+        if not args.model_checkpoint:
+            print("--backend npz requires --model-checkpoint",
+                  file=sys.stderr)
+            return 2
+        from ditto_spark.operators.npmodel import load_checkpoint
+
+        load_checkpoint(args.model_checkpoint)  # fail fast driver-side
+        ckpt, vocab = args.model_checkpoint, args.vocab
+
+        def backend_factory():
+            # executed lazily per python worker (module-level backend
+            # cache in scoring) — the npz loads once per executor
+            from ditto_spark.operators.npmodel import (NumpyDittoBackend,
+                                                       load_checkpoint)
+
+            return NumpyDittoBackend(weights=load_checkpoint(ckpt),
+                                     vocab_path=vocab)
+
+        backend_factory.fingerprint = f"npz:{ckpt}:{vocab}"
     else:
         from ditto_spark.operators.scoring import SurrogateBackend
 

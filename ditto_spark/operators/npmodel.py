@@ -69,6 +69,88 @@ def tokenize_pair(left: str, right: str, vocab_size: int,
     return ids[:max_len]
 
 
+# ---------------------------------------------------------------------------
+# Real-vocab WordPiece encoding (P10 full parity for BERT-family
+# checkpoints): the reference tokenizes pairs with the HF tokenizer
+# (ditto_light/dataset.py encode(text_pair=...)). The WordPiece
+# algorithm is public (greedy longest-match-first over a vocab.txt);
+# implementing it here means a checkpoint converted by
+# tools/convert_checkpoint.py scores with its REAL vocabulary ids, not
+# the hash-token fallback — the remaining gap to HF is BasicTokenizer
+# corner cases (accent stripping, CJK spacing), documented below.
+# ---------------------------------------------------------------------------
+
+import re as _re
+
+# HF BasicTokenizer splits words on (and emits as single tokens) every
+# punctuation char, INCLUDING underscore (ASCII 91-96); [^\W_]+ is
+# "word chars minus underscore"
+_BASIC_TOKEN_RE = _re.compile(r"[^\W_]+|[^\w\s]|_", _re.UNICODE)
+
+
+def load_wordpiece_ids(path: str) -> dict[str, int]:
+    """HF ``vocab.txt`` -> {piece: id} (line number = id, the format
+    every BERT-family checkpoint ships)."""
+    ids: dict[str, int] = {}
+    with open(path, encoding="utf-8") as f:
+        for i, line in enumerate(f):
+            ids[line.rstrip("\n")] = i
+    return ids
+
+
+def _basic_tokens(text: str, lowercase: bool = True) -> list[str]:
+    if lowercase:
+        text = text.lower()
+    return _BASIC_TOKEN_RE.findall(text or "")
+
+
+def wordpiece_word_ids(word: str, vocab: dict[str, int], unk_id: int,
+                       max_chars_per_word: int = 100) -> list[int]:
+    """Greedy longest-match-first pieces of one word -> vocab ids;
+    HF WordpieceTokenizer semantics: any unmatchable remainder (or an
+    over-long word) makes the WHOLE word one [UNK]."""
+    if len(word) > max_chars_per_word:
+        return [unk_id]
+    out: list[int] = []
+    start = 0
+    n = len(word)
+    while start < n:
+        end = n
+        found = None
+        while start < end:
+            sub = word[start:end]
+            if start > 0:
+                sub = "##" + sub
+            pid = vocab.get(sub)
+            if pid is not None:
+                found = (pid, end)
+                break
+            end -= 1
+        if found is None:
+            return [unk_id]
+        out.append(found[0])
+        start = found[1]
+    return out
+
+
+def wordpiece_encode_pair(left: str, right: str, vocab: dict[str, int],
+                          max_len: int, lowercase: bool = True) -> list[int]:
+    """[CLS] left [SEP] right [SEP] with real vocabulary ids — the
+    WordPiece twin of ``tokenize_pair``. Truncation is a tail clip to
+    ``max_len`` (same policy as the hash path; HF's longest-first pair
+    truncation differs only on pairs that overflow, and the reference
+    runs max_len=256 where overflow is rare)."""
+    cls_id, sep_id, unk_id = vocab["[CLS]"], vocab["[SEP]"], vocab["[UNK]"]
+    ids = [cls_id]
+    for w in _basic_tokens(left, lowercase):
+        ids.extend(wordpiece_word_ids(w, vocab, unk_id))
+    ids.append(sep_id)
+    for w in _basic_tokens(right, lowercase):
+        ids.extend(wordpiece_word_ids(w, vocab, unk_id))
+    ids.append(sep_id)
+    return ids[:max_len]
+
+
 def _layer_norm(x: np.ndarray, g: np.ndarray, b: np.ndarray) -> np.ndarray:
     mu = x.mean(-1, keepdims=True)
     var = x.var(-1, keepdims=True)
@@ -256,19 +338,49 @@ class NumpyDittoBackend:
     runs the batched forward. Interface-identical to TorchDittoBackend."""
 
     def __init__(self, weights: dict | None = None, seed: int = 0,
-                 micro_batch: int = 64):
+                 micro_batch: int = 64, vocab_path: str | None = None):
         self.model = NumpyCrossEncoder(weights or make_weights(seed))
         self.micro_batch = micro_batch
+        # real-vocab mode (P10 full parity for BERT-family converted
+        # checkpoints): tokenize with the checkpoint's own vocab.txt
+        # instead of the hash tokenizer. Fail loudly on a vocab that
+        # cannot belong to these weights — scoring with a mismatched
+        # embedding table is silently near-random.
+        self.vocab_ids: dict[str, int] | None = None
+        if vocab_path is not None:
+            vocab = load_wordpiece_ids(vocab_path)
+            for special in ("[PAD]", "[CLS]", "[SEP]", "[UNK]"):
+                if special not in vocab:
+                    raise ValueError(
+                        f"{vocab_path}: missing {special} — not a "
+                        "BERT-family vocab.txt")
+            if vocab["[PAD]"] != 0:
+                # the forward masks ids != 0; a nonzero PAD would make
+                # padding attend like real tokens
+                raise ValueError(
+                    f"{vocab_path}: [PAD] id is {vocab['[PAD]']}, the "
+                    "encoder requires PAD=0 (standard BERT vocabs do)")
+            if len(vocab) != self.model.vocab_size:
+                raise ValueError(
+                    f"{vocab_path} has {len(vocab)} pieces but the "
+                    f"checkpoint embeds {self.model.vocab_size} — wrong "
+                    "vocab for these weights")
+            self.vocab_ids = vocab
         # content-derived fingerprint over EVERY weight array (sorted
         # key order): distinguishes backends in the per-worker backend
         # cache and in pipeline stage fingerprints. Hashing only the
         # head would alias two checkpoints that share a frozen fc.* but
         # differ in encoder weights — a reused worker would then score
-        # pipeline B's pairs with pipeline A's model.
+        # pipeline B's pairs with pipeline A's model. The tokenizer
+        # mode/vocab is part of the identity too: same weights + a
+        # different vocab is a different scorer.
         h = hashlib.md5()
         for k in sorted(self.model.w):
             h.update(k.encode())
             h.update(np.ascontiguousarray(self.model.w[k]).tobytes())
+        if self.vocab_ids is not None:
+            for piece, pid in sorted(self.vocab_ids.items()):
+                h.update(f"{piece}\x00{pid}".encode())
         self.fingerprint = "numpy-cross-encoder-" + h.hexdigest()[:12]
 
     def score_batch(self, left: pd.Series, right: pd.Series) -> pd.Series:
@@ -280,9 +392,14 @@ class NumpyDittoBackend:
         # IDENTICAL per pair regardless of chunk composition
         # (test_model_gate padding/batch-size invariance), and results
         # are scattered back to the original index order.
-        all_seqs = [tokenize_pair(a, b, self.model.vocab_size,
-                                  self.model.max_len)
-                    for a, b in zip(left.tolist(), right.tolist())]
+        if self.vocab_ids is not None:
+            all_seqs = [wordpiece_encode_pair(a, b, self.vocab_ids,
+                                              self.model.max_len)
+                        for a, b in zip(left.tolist(), right.tolist())]
+        else:
+            all_seqs = [tokenize_pair(a, b, self.model.vocab_size,
+                                      self.model.max_len)
+                        for a, b in zip(left.tolist(), right.tolist())]
         order = sorted(range(len(all_seqs)), key=lambda i: len(all_seqs[i]))
         out = np.empty(len(all_seqs), dtype=np.float64)
         for i in range(0, len(order), self.micro_batch):

@@ -138,6 +138,34 @@ def test_table_pipeline_strips_prefixes_and_detects(spark):
     assert out["scored"].count() == 2
 
 
+def test_cli_npz_backend_e2e(spark, tmp_path):
+    """--backend npz: a converted reference-layout checkpoint + its
+    vocab score the pipeline end-to-end with no torch anywhere."""
+    import numpy as np
+
+    from ditto_spark.cli import main
+    from ditto_spark.operators.npmodel import save_checkpoint
+    from tests.test_convert_checkpoint import _hf_state, H, V as VS
+    from tools.convert_checkpoint import convert_state
+
+    weights, _ = convert_state({"model": _hf_state()}, n_heads=H)
+    ckpt = str(tmp_path / "model.npz")
+    save_checkpoint(weights, ckpt)
+    vocab_path = str(tmp_path / "vocab.txt")
+    with open(vocab_path, "w") as f:
+        f.write("\n".join(["[PAD]", "[UNK]", "[CLS]", "[SEP]"] +
+                          [f"w{i}" for i in range(VS - 4)]) + "\n")
+    outdir = str(tmp_path / "out")
+    rc = main(["--synthetic", "60", "--output", outdir,
+               "--backend", "npz", "--model-checkpoint", ckpt,
+               "--vocab", vocab_path, "--cores", "4"])
+    assert rc == 0
+    m = spark.read.parquet(f"{outdir}/matches")
+    assert m.count() > 0
+    probs = [r["match_probability"] for r in m.limit(20).collect()]
+    assert all(np.isfinite(p) and 0 < p < 1 for p in probs)
+
+
 def test_cli_table_e2e(spark, tmp_path):
     """CLI: --table in, --output-table out, parquet matches dir too."""
     from ditto_spark.cli import main

@@ -1,0 +1,120 @@
+"""Real-vocab WordPiece encoding (P10 parity for BERT-family converted
+checkpoints): greedy longest-match-first pieces with HF
+WordpieceTokenizer semantics, the [CLS]/[SEP] pair frame, and the
+vocab-validated NumpyDittoBackend mode end-to-end with a converted
+reference-layout checkpoint."""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pytest
+
+from ditto_spark.operators.npmodel import (
+    NumpyDittoBackend,
+    _basic_tokens,
+    load_wordpiece_ids,
+    make_weights,
+    wordpiece_encode_pair,
+    wordpiece_word_ids,
+)
+
+# the classic HF wordpiece doctest vocabulary, specials first
+VOCAB = ["[PAD]", "[UNK]", "[CLS]", "[SEP]", "un", "##aff", "##able",
+         "want", "##ed", "runn", "##ing", "'", "s", "hi", ",", "99"]
+V = {p: i for i, p in enumerate(VOCAB)}
+
+
+def _ids(word):
+    return wordpiece_word_ids(word, V, V["[UNK]"])
+
+
+def test_wordpiece_greedy_longest_match():
+    # the canonical HF example: unaffable -> un ##aff ##able
+    assert _ids("unaffable") == [V["un"], V["##aff"], V["##able"]]
+    assert _ids("wanted") == [V["want"], V["##ed"]]
+    assert _ids("running") == [V["runn"], V["##ing"]]
+    # any unmatchable remainder -> the WHOLE word is one [UNK]
+    # (matched prefix pieces are discarded, the is_bad path)
+    assert _ids("unaffordable") == [V["[UNK]"]]
+    assert _ids("zzz") == [V["[UNK]"]]
+    # over-long word -> [UNK]
+    assert wordpiece_word_ids("a" * 101, V, V["[UNK]"]) == [V["[UNK]"]]
+
+
+def test_basic_tokens_split_punctuation():
+    # HF BasicTokenizer: punctuation chars are their own tokens,
+    # underscore included; lowercasing applied
+    assert _basic_tokens("Hi, it's 99!") == [
+        "hi", ",", "it", "'", "s", "99", "!"]
+    assert _basic_tokens("a_b") == ["a", "_", "b"]
+    assert _basic_tokens("") == []
+
+
+def test_encode_pair_frame_and_truncation():
+    ids = wordpiece_encode_pair("hi", "wanted", V, max_len=64)
+    assert ids == [V["[CLS]"], V["hi"], V["[SEP]"],
+                   V["want"], V["##ed"], V["[SEP]"]]
+    assert wordpiece_encode_pair("hi", "wanted", V, max_len=4) == [
+        V["[CLS]"], V["hi"], V["[SEP]"], V["want"]]
+
+
+def test_backend_real_vocab_mode(tmp_path):
+    vocab_path = str(tmp_path / "vocab.txt")
+    with open(vocab_path, "w") as f:
+        f.write("\n".join(VOCAB) + "\n")
+    # weights sized to the vocab (vocab_size must match exactly)
+    w = make_weights(0, {"vocab_size": len(VOCAB), "d_model": 16,
+                         "n_heads": 2, "d_ff": 32, "n_layers": 1,
+                         "max_len": 32})
+    be = NumpyDittoBackend(weights=w, vocab_path=vocab_path)
+    left = pd.Series(["unaffable wanted", "hi"])
+    right = pd.Series(["unaffable wanted", "running 99"])
+    p = be.score_batch(left, right)
+    assert len(p) == 2 and np.isfinite(p).all()
+    assert ((p > 0) & (p < 1)).all()
+    # identical inputs score identically regardless of batch company
+    p_solo = be.score_batch(left[:1], right[:1])
+    assert np.isclose(p[0], p_solo[0])
+    # vocab participates in the backend identity
+    be_hash = NumpyDittoBackend(weights=w)
+    assert be.fingerprint != be_hash.fingerprint
+    # mismatched vocab/weights refuse loudly
+    wrong = make_weights(0, {"vocab_size": 1024, "d_model": 16,
+                             "n_heads": 2, "d_ff": 32, "n_layers": 1,
+                             "max_len": 32})
+    with pytest.raises(ValueError, match="wrong\\s+vocab|pieces"):
+        NumpyDittoBackend(weights=wrong, vocab_path=vocab_path)
+    # a vocab without the specials refuses
+    bad = str(tmp_path / "bad.txt")
+    with open(bad, "w") as f:
+        f.write("just\nwords\n")
+    with pytest.raises(ValueError, match="\\[PAD\\]"):
+        NumpyDittoBackend(weights=w, vocab_path=bad)
+    # nonzero [PAD] id refuses (the mask assumes PAD=0)
+    shifted = str(tmp_path / "shifted.txt")
+    with open(shifted, "w") as f:
+        f.write("\n".join(["[UNK]", "[PAD]", "[CLS]", "[SEP]"] +
+                          VOCAB[4:]) + "\n")
+    with pytest.raises(ValueError, match="PAD=0"):
+        NumpyDittoBackend(weights=w, vocab_path=shifted)
+
+
+def test_converted_checkpoint_with_real_vocab(tmp_path):
+    """The full story: reference-layout state -> convert_state -> npz ->
+    backend with the checkpoint's own vocab — executable today, only
+    the offline torch->npz dump is missing for a real model."""
+    from tests.test_convert_checkpoint import _hf_state, H, V as VS, D, FF, L, P
+    from tools.convert_checkpoint import convert_state
+
+    weights, _ = convert_state({"model": _hf_state()}, n_heads=H)
+    # a vocab sized to the synthetic checkpoint's embedding table
+    pieces = ["[PAD]", "[UNK]", "[CLS]", "[SEP]"] + [
+        f"w{i}" for i in range(VS - 4)]
+    vocab_path = str(tmp_path / "vocab.txt")
+    with open(vocab_path, "w") as f:
+        f.write("\n".join(pieces) + "\n")
+    be = NumpyDittoBackend(weights=weights, vocab_path=vocab_path)
+    p = be.score_batch(pd.Series(["w1 w2 unknownword"]),
+                       pd.Series(["w1 w2 w3"]))
+    assert np.isfinite(p[0]) and 0 < p[0] < 1
