@@ -100,6 +100,43 @@ def hashed_bow_embed(df: DataFrame, id_col: str, text_col: str,
     )
 
 
+def model_embed(df: DataFrame, id_col: str, text_col: str,
+                encoder_factory, num_partitions: int | None = None
+                ) -> DataFrame:
+    """(id, vec array<double>) via a REAL model encoder in one
+    Arrow-batched ``mapInPandas`` stage — the SentenceTransformer seam
+    ``hashed_bow_embed`` documents (blocking/blocker.py:14-40).
+    ``encoder_factory`` builds a backend exposing
+    ``encode_batch(texts) -> (n, d) ndarray`` (e.g.
+    ``npmodel.NumpySentenceEncoder``; a real torch SentenceTransformer
+    wrapper has the identical surface); it is constructed lazily ONCE
+    per python worker via the scoring backend cache, so model load is
+    paid per executor, not per batch.
+
+    Parallelism is pinned like ``score_pairs``: encode cost is per-row
+    CPU that AQE's byte-based coalescing cannot see — without the
+    explicit repartition a small-in-bytes text table collapses to 1-2
+    tasks and the encoder runs near-serial."""
+    import pandas as pd
+
+    from ditto_spark.operators.scoring import _worker_backend
+
+    if num_partitions is None:
+        num_partitions = 4 * df.sparkSession.sparkContext.defaultParallelism
+    proj = df.select(F.col(id_col).cast("string").alias("id"),
+                     F.col(text_col).cast("string").alias("text"))
+    proj = proj.repartition(num_partitions)
+
+    def run(batches):
+        enc = _worker_backend(encoder_factory)
+        for pdf in batches:
+            vecs = enc.encode_batch(pdf["text"].fillna("").tolist())
+            yield pd.DataFrame({"id": pdf["id"],
+                                "vec": [list(map(float, v)) for v in vecs]})
+
+    return proj.mapInPandas(run, "id string, vec array<double>")
+
+
 def two_table_topk_blocking(
     dfa: DataFrame,
     dfb: DataFrame,
@@ -113,6 +150,7 @@ def two_table_topk_blocking(
     n_cells: int = 64,
     n_probe: int = 4,
     size_hint: tuple[int | None, int | None] | None = None,
+    encoder_factory=None,
 ) -> DataFrame:
     """blocker.py:43-80 re-created: encode both tables, emit for each
     right-table row its top-k most-cosine-similar left rows (and/or a
@@ -143,8 +181,14 @@ def two_table_topk_blocking(
             return _probe_exceeds(df, max_exact_rows)
 
         exact = not (_exceeds(dfa, hint_a) or _exceeds(dfb, hint_b))
-    ea = hashed_bow_embed(dfa, id_col, text_col, dim)
-    eb = hashed_bow_embed(dfb, id_col, text_col, dim)
+    if encoder_factory is not None:
+        # real-model encode path (M7): same (id, vec) contract, so the
+        # exact/ANN routing below is encoder-agnostic
+        ea = model_embed(dfa, id_col, text_col, encoder_factory)
+        eb = model_embed(dfb, id_col, text_col, encoder_factory)
+    else:
+        ea = hashed_bow_embed(dfa, id_col, text_col, dim)
+        eb = hashed_bow_embed(dfb, id_col, text_col, dim)
     if not exact:
         out = ivf_topk(
             ea, eb, k=k, n_cells=n_cells, n_probe=n_probe,

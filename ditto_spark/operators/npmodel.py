@@ -151,6 +151,52 @@ def wordpiece_encode_pair(left: str, right: str, vocab: dict[str, int],
     return ids[:max_len]
 
 
+def tokenize_text(text: str, vocab_size: int, max_len: int) -> list[int]:
+    """[CLS] text [SEP] with hash-token ids — the single-text twin of
+    ``tokenize_pair`` (encoder/blocker inputs are single entity
+    strings, blocker.py:30-36)."""
+    ids = [1]
+    for tok in (text or "").lower().split():
+        ids.append(hash_token_id(tok, vocab_size))
+    ids.append(2)
+    return ids[:max_len]
+
+
+def wordpiece_encode_text(text: str, vocab: dict[str, int], max_len: int,
+                          lowercase: bool = True) -> list[int]:
+    """[CLS] text [SEP] with real vocabulary ids — the single-text twin
+    of ``wordpiece_encode_pair``."""
+    ids = [vocab["[CLS]"]]
+    unk_id = vocab["[UNK]"]
+    for w in _basic_tokens(text, lowercase):
+        ids.extend(wordpiece_word_ids(w, vocab, unk_id))
+    ids.append(vocab["[SEP]"])
+    return ids[:max_len]
+
+
+def _validate_vocab(vocab_path: str, vocab_size: int) -> dict[str, int]:
+    """Load + validate a vocab.txt against a model's embedding table;
+    fail loudly on any mismatch (scoring/encoding with a wrong vocab is
+    silently near-random)."""
+    vocab = load_wordpiece_ids(vocab_path)
+    for special in ("[PAD]", "[CLS]", "[SEP]", "[UNK]"):
+        if special not in vocab:
+            raise ValueError(
+                f"{vocab_path}: missing {special} — not a BERT-family "
+                "vocab.txt")
+    if vocab["[PAD]"] != 0:
+        # the forward masks ids != 0; a nonzero PAD would make padding
+        # attend like real tokens
+        raise ValueError(
+            f"{vocab_path}: [PAD] id is {vocab['[PAD]']}, the encoder "
+            "requires PAD=0 (standard BERT vocabs do)")
+    if len(vocab) != vocab_size:
+        raise ValueError(
+            f"{vocab_path} has {len(vocab)} pieces but the checkpoint "
+            f"embeds {vocab_size} — wrong vocab for these weights")
+    return vocab
+
+
 def _layer_norm(x: np.ndarray, g: np.ndarray, b: np.ndarray) -> np.ndarray:
     mu = x.mean(-1, keepdims=True)
     var = x.var(-1, keepdims=True)
@@ -249,6 +295,23 @@ class NumpyCrossEncoder:
         self.d_ff, self.n_layers, self.max_len = ff, L, ml
 
     def forward(self, ids: np.ndarray) -> np.ndarray:
+        x, mask = self._hidden(ids)
+        cls = x[:, 0, :]  # ditto.py:52-57 CLS pooling
+        logits = cls @ self.w["fc.weight"].T + self.w["fc.bias"]
+        return _softmax(logits, axis=-1)[:, 1]
+
+    def encode(self, ids: np.ndarray) -> np.ndarray:
+        """Masked MEAN-pooled, L2-normalized sentence vectors (B, d) —
+        SentenceTransformer's default pooling + the blocker's normalize
+        (blocking/blocker.py:14-40). Pad positions are excluded from
+        the mean by the same key-padding mask the attention uses."""
+        x, mask = self._hidden(ids)
+        m = mask[..., None].astype(x.dtype)
+        s = (x * m).sum(1) / np.maximum(m.sum(1), 1e-9)
+        n = np.linalg.norm(s, axis=1, keepdims=True)
+        return s / np.maximum(n, 1e-12)
+
+    def _hidden(self, ids: np.ndarray):
         w = self.w
         B, T = ids.shape
         mask = ids != 0  # (B, T) key-padding mask
@@ -292,9 +355,7 @@ class NumpyCrossEncoder:
             x = _layer_norm(x + f, w[p + "ffn.LayerNorm.weight"],
                             w[p + "ffn.LayerNorm.bias"])
             x = x * mask[..., None]
-        cls = x[:, 0, :]  # ditto.py:52-57 CLS pooling
-        logits = cls @ w["fc.weight"].T + w["fc.bias"]
-        return _softmax(logits, axis=-1)[:, 1]
+        return x, mask
 
 
 def default_numpy_backend():
@@ -346,26 +407,9 @@ class NumpyDittoBackend:
         # instead of the hash tokenizer. Fail loudly on a vocab that
         # cannot belong to these weights — scoring with a mismatched
         # embedding table is silently near-random.
-        self.vocab_ids: dict[str, int] | None = None
-        if vocab_path is not None:
-            vocab = load_wordpiece_ids(vocab_path)
-            for special in ("[PAD]", "[CLS]", "[SEP]", "[UNK]"):
-                if special not in vocab:
-                    raise ValueError(
-                        f"{vocab_path}: missing {special} — not a "
-                        "BERT-family vocab.txt")
-            if vocab["[PAD]"] != 0:
-                # the forward masks ids != 0; a nonzero PAD would make
-                # padding attend like real tokens
-                raise ValueError(
-                    f"{vocab_path}: [PAD] id is {vocab['[PAD]']}, the "
-                    "encoder requires PAD=0 (standard BERT vocabs do)")
-            if len(vocab) != self.model.vocab_size:
-                raise ValueError(
-                    f"{vocab_path} has {len(vocab)} pieces but the "
-                    f"checkpoint embeds {self.model.vocab_size} — wrong "
-                    "vocab for these weights")
-            self.vocab_ids = vocab
+        self.vocab_ids: dict[str, int] | None = (
+            _validate_vocab(vocab_path, self.model.vocab_size)
+            if vocab_path is not None else None)
         # content-derived fingerprint over EVERY weight array (sorted
         # key order): distinguishes backends in the per-worker backend
         # cache and in pipeline stage fingerprints. Hashing only the
@@ -411,3 +455,57 @@ class NumpyDittoBackend:
                 ids[r, :len(s)] = s
             out[idx] = self.model.forward(ids)
         return pd.Series(out, index=left.index, dtype="float64")
+
+
+class NumpySentenceEncoder:
+    """SentenceTransformer-analog encoder backend (M7): tokenize (hash
+    tokenizer, or the checkpoint's real WordPiece vocab), padded
+    micro-batch transformer forward, masked MEAN pooling + L2 — the
+    reference blocker's encode+normalize (blocking/blocker.py:14-40,
+    train_blocker.py:32-91). Shares the cross-encoder's weight layout,
+    so a converted encoder checkpoint
+    (tools/convert_checkpoint.py --encoder-only, or a full matcher
+    checkpoint whose fc.* head simply goes unused) slots straight in.
+    Plugged into blocking via ``embed.model_embed`` — the mapInPandas
+    seam ``hashed_bow_embed`` documents."""
+
+    def __init__(self, weights: dict | None = None, seed: int = 0,
+                 micro_batch: int = 64, vocab_path: str | None = None):
+        self.model = NumpyCrossEncoder(weights or make_weights(seed))
+        self.micro_batch = micro_batch
+        self.vocab_ids: dict[str, int] | None = (
+            _validate_vocab(vocab_path, self.model.vocab_size)
+            if vocab_path is not None else None)
+        h = hashlib.md5()
+        for k in sorted(self.model.w):
+            h.update(k.encode())
+            h.update(np.ascontiguousarray(self.model.w[k]).tobytes())
+        if self.vocab_ids is not None:
+            for piece, pid in sorted(self.vocab_ids.items()):
+                h.update(f"{piece}\x00{pid}".encode())
+        self.fingerprint = "numpy-sentence-encoder-" + h.hexdigest()[:12]
+
+    def encode_batch(self, texts) -> np.ndarray:
+        """texts (list/Series of str) -> (n, d_model) float64 unit
+        vectors, original order. Length-sorted micro-batching as in
+        ``NumpyDittoBackend.score_batch``; the key-padding mask makes
+        each text's vector independent of its batch company."""
+        texts = list(texts)
+        if self.vocab_ids is not None:
+            seqs = [wordpiece_encode_text(t, self.vocab_ids,
+                                          self.model.max_len)
+                    for t in texts]
+        else:
+            seqs = [tokenize_text(t, self.model.vocab_size,
+                                  self.model.max_len) for t in texts]
+        order = sorted(range(len(seqs)), key=lambda i: len(seqs[i]))
+        out = np.empty((len(seqs), self.model.d_model), dtype=np.float64)
+        for i in range(0, len(order), self.micro_batch):
+            idx = order[i:i + self.micro_batch]
+            chunk = [seqs[j] for j in idx]
+            t = max(len(s) for s in chunk)
+            ids = np.zeros((len(chunk), t), dtype=np.int64)
+            for r, s in enumerate(chunk):
+                ids[r, :len(s)] = s
+            out[idx] = self.model.encode(ids)
+        return out

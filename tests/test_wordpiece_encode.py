@@ -118,3 +118,88 @@ def test_converted_checkpoint_with_real_vocab(tmp_path):
     p = be.score_batch(pd.Series(["w1 w2 unknownword"]),
                        pd.Series(["w1 w2 w3"]))
     assert np.isfinite(p[0]) and 0 < p[0] < 1
+
+
+# ---------------------------------------------------------------------------
+# sentence encoder (M7) + the model_embed blocking seam
+# ---------------------------------------------------------------------------
+
+def _tiny_encoder():
+    from ditto_spark.operators.npmodel import (NumpySentenceEncoder,
+                                               make_weights)
+
+    w = make_weights(1, {"vocab_size": 256, "d_model": 16, "n_heads": 2,
+                         "d_ff": 32, "n_layers": 1, "max_len": 32})
+    return NumpySentenceEncoder(weights=w)
+
+
+def test_sentence_encoder_unit_norm_and_batch_invariance():
+    enc = _tiny_encoder()
+    texts = ["alpha beta gamma", "a much longer sentence with many words "
+             "to force a different padded length", "alpha beta gamma"]
+    vecs = enc.encode_batch(texts)
+    assert vecs.shape == (3, 16)
+    norms = np.linalg.norm(vecs, axis=1)
+    assert np.allclose(norms, 1.0)
+    # identical texts -> identical vectors, regardless of batch company
+    assert np.allclose(vecs[0], vecs[2])
+    solo = enc.encode_batch(["alpha beta gamma"])[0]
+    assert np.allclose(vecs[0], solo)  # padding must not leak into mean
+    # deterministic across instances
+    assert np.allclose(_tiny_encoder().encode_batch(texts), vecs)
+
+
+def test_encoder_only_conversion_feeds_sentence_encoder(tmp_path):
+    """A headless HF encoder state (no fc.*, bare keys) converts with
+    --encoder-only and encodes through NumpySentenceEncoder."""
+    from ditto_spark.operators.npmodel import (NumpySentenceEncoder,
+                                               load_checkpoint,
+                                               save_checkpoint)
+    from tests.test_convert_checkpoint import _hf_state
+    from tools.convert_checkpoint import convert_state
+
+    bare = {k[len("bert."):]: v for k, v in _hf_state().items()
+            if k.startswith("bert.")}
+    weights, _ = convert_state(bare, n_heads=2, encoder_only=True)
+    assert weights["fc.weight"].sum() == 0  # minted zero head
+    path = str(tmp_path / "enc.npz")
+    save_checkpoint(weights, path)
+    enc = NumpySentenceEncoder(weights=load_checkpoint(path))
+    v = enc.encode_batch(["hello world", "hello world", "other"])
+    assert np.allclose(v[0], v[1]) and not np.allclose(v[0], v[2])
+    # without encoder_only a headless state still refuses
+    with pytest.raises(ValueError, match="bert"):
+        convert_state(bare, n_heads=2)
+
+
+def test_model_embed_and_blocking_seam(spark):
+    """model_embed runs the encoder distributed and matches the local
+    encode exactly; two_table_topk_blocking(encoder_factory=...) ranks
+    an identical text as its own nearest neighbor at sim ~1."""
+    from ditto_spark.operators.embed import (model_embed,
+                                             two_table_topk_blocking)
+    from ditto_spark.operators.npmodel import (NumpySentenceEncoder,
+                                               make_weights)
+
+    cfgd = {"vocab_size": 256, "d_model": 16, "n_heads": 2,
+            "d_ff": 32, "n_layers": 1, "max_len": 32}
+
+    def factory():
+        return NumpySentenceEncoder(weights=make_weights(1, cfgd))
+
+    factory.fingerprint = "np-sent-enc-test"
+    rows = [(f"d{i}", f"entity number {i} alpha beta") for i in range(12)]
+    df = spark.createDataFrame(rows, "id string, text string")
+    got = {r["id"]: np.array(r["vec"])
+           for r in model_embed(df, "id", "text", factory).collect()}
+    local = NumpySentenceEncoder(weights=make_weights(1, cfgd))
+    want = local.encode_batch([t for _, t in rows])
+    for i, (rid, _) in enumerate(rows):
+        assert np.allclose(got[rid], want[i], atol=1e-12), rid
+
+    pairs = two_table_topk_blocking(
+        df, df, k=1, id_col="id", text_col="text",
+        encoder_factory=factory, exact=True)
+    top = {r["right_id"]: (r["left_id"], r["sim"]) for r in pairs.collect()}
+    for rid in got:
+        assert top[rid][0] == rid and top[rid][1] >= 0.999999

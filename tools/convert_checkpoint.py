@@ -105,12 +105,24 @@ _LAYER_RE = re.compile(r"^bert\.encoder\.layer\.(\d+)\.(.+)$")
 
 
 def convert_state(sd: dict, n_heads: int | None = None,
-                  pos_offset: int = 0) -> tuple[dict, list[str]]:
+                  pos_offset: int = 0,
+                  encoder_only: bool = False) -> tuple[dict, list[str]]:
     """Reference-layout state dict (torch tensors or numpy arrays) ->
     (npz-layout weights incl. ``_config``, dropped key list). Raises on
-    any unrecognized key or underivable config."""
+    any unrecognized key or underivable config.
+
+    ``encoder_only=True`` converts a HEADLESS encoder (a
+    sentence-transformer blocker, train_blocker.py:32-91): bare HF keys
+    (``embeddings.*``/``encoder.layer.*``) are accepted and prefixed
+    with ``bert.``, the fc.* requirement is waived, and a ZERO 2-class
+    head is minted so ``load_checkpoint``'s layout validation still
+    passes — ``NumpySentenceEncoder`` never reads it."""
     sd = unwrap_checkpoint_state(sd)
-    partition_ditto_state(sd)  # fail loudly on a non-matcher layout
+    if encoder_only:
+        if not any(k.startswith("bert.") for k in sd):
+            sd = {f"bert.{k}": v for k, v in sd.items()}
+    else:
+        partition_ditto_state(sd)  # fail loudly on a non-matcher layout
     out: dict = {}
     dropped: list[str] = []
     max_layer = -1
@@ -139,6 +151,11 @@ def convert_state(sd: dict, n_heads: int | None = None,
     if max_layer < 0:
         raise ValueError("no encoder layers found")
     we = out["bert.embeddings.word_embeddings.weight"]
+    if encoder_only and "fc.weight" not in out:
+        # zero head satisfies load_checkpoint's layout validation; the
+        # sentence encoder never reads it
+        out["fc.weight"] = np.zeros((2, we.shape[1]), np.float32)
+        out["fc.bias"] = np.zeros(2, np.float32)
     pe = out["bert.embeddings.position_embeddings.weight"]
     if pos_offset:
         pe = pe[pos_offset:]
@@ -165,6 +182,10 @@ def main(argv: list[str]) -> int:
     ap.add_argument("--n-heads", type=int, default=None)
     ap.add_argument("--pos-offset", type=int, default=0,
                     help="2 for RoBERTa-family position ids, 0 for BERT")
+    ap.add_argument("--encoder-only", action="store_true",
+                    help="convert a headless sentence-transformer "
+                         "encoder (blocker) — bare HF keys accepted, "
+                         "zero classification head minted")
     args = ap.parse_args(argv)
 
     if args.src.endswith(".npz"):
@@ -175,7 +196,8 @@ def main(argv: list[str]) -> int:
 
         sd = torch.load(args.src, map_location="cpu", weights_only=True)
     weights, dropped = convert_state(sd, n_heads=args.n_heads,
-                                     pos_offset=args.pos_offset)
+                                     pos_offset=args.pos_offset,
+                                     encoder_only=args.encoder_only)
     from ditto_spark.operators.npmodel import load_checkpoint, save_checkpoint
 
     save_checkpoint(weights, args.dst)
