@@ -41,6 +41,29 @@ def read_table(spark: SparkSession, table: str,
     return df.limit(limit) if limit else df
 
 
+def write_bucketed_table(df: DataFrame, table: str, bucket_cols: list[str],
+                         n_buckets: int,
+                         sort_cols: list[str] | None = None) -> None:
+    """Persist a catalog table BUCKETED (and optionally sorted) by the
+    join key — the co-located-join layout for the tables this engine
+    joins repeatedly at scale (docs by doc_id for text attach, pair
+    tables by block key). Two tables bucketed by the same key with the
+    same count join with NO shuffle on either side (Spark elides both
+    Exchanges; with sort_cols the sort is elided too) — at the 10^12-doc
+    design point that turns every text-attach join from a full-corpus
+    shuffle into a per-bucket local merge. One-time cost: the bucketed
+    WRITE itself shuffles into n_buckets files per partition.
+
+    Size ``n_buckets`` so one bucket of the LARGEST co-bucketed table
+    fits an executor core's working memory (same sizing rule as the
+    streaming stores' ``n_store_buckets``)."""
+    w = df.write.mode("overwrite").bucketBy(n_buckets, *bucket_cols)
+    if sort_cols:
+        w = w.sortBy(*sort_cols)
+    drop_table(df.sparkSession, table)
+    w.format("parquet").saveAsTable(table)
+
+
 def drop_table(spark: SparkSession, table: str) -> None:
     """``DROP TABLE IF EXISTS`` that is robust to an EPHEMERAL catalog
     (Spark's default in-memory catalog, and any metastore lost between

@@ -138,6 +138,40 @@ def test_table_pipeline_strips_prefixes_and_detects(spark):
     assert out["scored"].count() == 2
 
 
+def test_bucketed_tables_join_without_shuffle(spark):
+    """write_bucketed_table: two tables bucketed by the same key and
+    count sort-merge-join with ZERO Exchange nodes — the co-located
+    join layout for the doc/pair tables the engine joins repeatedly
+    (at scale this is the difference between a per-bucket local merge
+    and a full-corpus shuffle per text attach)."""
+    from ditto_spark.sources.io import write_bucketed_table
+
+    docs = spark.range(1000).select(
+        F.concat(F.lit("d"), F.col("id")).alias("doc_id"),
+        F.md5(F.col("id").cast("string")).alias("text"))
+    pairs = spark.range(500).select(
+        F.concat(F.lit("d"), F.col("id")).alias("doc_id"),
+        F.lit(1).alias("x"))
+    write_bucketed_table(docs, "bk_docs", ["doc_id"], 8,
+                         sort_cols=["doc_id"])
+    write_bucketed_table(pairs, "bk_pairs", ["doc_id"], 8,
+                         sort_cols=["doc_id"])
+    # merge hint pins SMJ (the at-scale strategy) — otherwise the tiny
+    # test tables broadcast and the assertion measures nothing
+    j = (spark.read.table("bk_docs").hint("merge")
+         .join(spark.read.table("bk_pairs"), "doc_id"))
+    plan = j._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("Exchange") == 0, plan
+    assert j.count() == 500
+    # the same join on unbucketed frames shuffles both sides
+    base = (docs.hint("merge").join(pairs, "doc_id")
+            ._jdf.queryExecution().executedPlan().toString())
+    assert base.count("Exchange") == 2
+    # rewrite with a different bucket count replaces cleanly
+    write_bucketed_table(pairs, "bk_pairs", ["doc_id"], 4)
+    assert spark.read.table("bk_pairs").count() == 500
+
+
 def test_cli_npz_backend_e2e(spark, tmp_path):
     """--backend npz: a converted reference-layout checkpoint + its
     vocab score the pipeline end-to-end with no torch anywhere."""
