@@ -203,3 +203,48 @@ def test_model_embed_and_blocking_seam(spark):
     top = {r["right_id"]: (r["left_id"], r["sim"]) for r in pairs.collect()}
     for rid in got:
         assert top[rid][0] == rid and top[rid][1] >= 0.999999
+
+
+# ---------------------------------------------------------------------------
+# hypothesis properties of the WordPiece segmenter
+# ---------------------------------------------------------------------------
+
+try:
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    _HYP = True
+except ImportError:  # pragma: no cover
+    _HYP = False
+
+if _HYP:
+    _word = st.text(alphabet="abcdefghijklmnopqrstuvwxyz0123456789",
+                    min_size=1, max_size=24)
+
+    @given(_word)
+    @settings(max_examples=300, deadline=None)
+    def test_wordpiece_reconstructs_or_unks(w):
+        """For ANY word: either the pieces reconstruct the word exactly
+        (strip '##', concatenate) or the output is exactly [UNK] — the
+        two HF-legal outcomes; ids are always valid vocab ids."""
+        rev = {i: p for p, i in V.items()}
+        ids = wordpiece_word_ids(w, V, V["[UNK]"])
+        assert ids and all(i in rev for i in ids)
+        if ids == [V["[UNK]"]]:
+            return
+        pieces = [rev[i] for i in ids]
+        assert pieces[0] in V and not pieces[0].startswith("##")
+        assert all(p.startswith("##") for p in pieces[1:])
+        assert pieces[0] + "".join(p[2:] for p in pieces[1:]) == w
+
+    @given(st.lists(_word, min_size=0, max_size=6).map(" ".join),
+           st.lists(_word, min_size=0, max_size=6).map(" ".join))
+    @settings(max_examples=100, deadline=None)
+    def test_encode_pair_frame_properties(a, b):
+        """Frame invariants for any pair: starts with [CLS], at most
+        two [SEP]s, never exceeds max_len, never contains [PAD]."""
+        ids = wordpiece_encode_pair(a, b, V, max_len=32)
+        assert ids[0] == V["[CLS]"]
+        assert len(ids) <= 32
+        assert ids.count(V["[SEP]"]) <= 2
+        assert V["[PAD]"] not in ids
