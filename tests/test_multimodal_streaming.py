@@ -179,3 +179,61 @@ def test_incremental_matches_cross_batch_new_new(spark, tmp_path):
              if frozenset((r.left_id, r.right_id)) in
              {frozenset(("s1", "s2")), frozenset(("s1b", "s2"))}}
     assert lefts == {"s2"}
+
+
+def test_incremental_matches_stream_state_pruned_and_hidden(spark, tmp_path):
+    """The accumulated stream-side state lives in underscore-prefixed
+    dirs (invisible to a plain read of the match table) and is
+    hash-bucket-partitioned so per-batch reads prune — the same
+    O(batch) contract as incremental_entities' stores."""
+    import os
+
+    from pyspark.sql import functions as F
+
+    from ditto_spark.schema import DOC_SCHEMA
+    from ditto_spark.streaming.incremental_er import (
+        build_corpus_index,
+        incremental_matches,
+    )
+    from ditto_spark.synth import docs_df
+
+    corpus = docs_df(spark, n_entities=8, seed=17)
+    idx = str(tmp_path / "index")
+    build_corpus_index(corpus, idx)
+    stream_rows = docs_df(spark, n_entities=20, seed=23).collect()
+    src = str(tmp_path / "in")
+    half = (len(stream_rows) + 1) // 2
+    for i in range(2):
+        chunk = [(f"s{r.doc_id}",
+                  [(s.kind, s.text, s.media_ref, s.offset)
+                   for s in r.spans])
+                 for r in stream_rows[i * half:(i + 1) * half]]
+        (spark.createDataFrame(chunk, DOC_SCHEMA).coalesce(1)
+         .write.mode("append").parquet(src))
+    stream = (spark.readStream.schema(DOC_SCHEMA)
+              .option("maxFilesPerTrigger", 1).parquet(src))
+    out, ck = str(tmp_path / "matches"), str(tmp_path / "ck")
+    incremental_matches(spark, stream, idx, out, ck)
+
+    # state dirs exist but stay invisible to the match-table read
+    assert os.path.isdir(f"{out}/_stream_index")
+    assert os.path.isdir(f"{out}/_stream_docs")
+    assert set(spark.read.parquet(out).columns) == {
+        "left_id", "right_id", "match", "match_confidence", "batch"}
+
+    # both stores hash-bucket-partitioned; pruned reads open fewer files
+    from tests.test_incremental_entities import _pruned_scan_assert
+
+    sidx = spark.read.parquet(f"{out}/_stream_index")
+    assert "bk_bucket" in sidx.columns
+    bks = sorted(r[0] for r in sidx.select("bk_bucket").distinct().collect())
+    assert len(bks) > 1, "fixture too small to split buckets"
+    _pruned_scan_assert(sidx, sidx.filter(F.col("bk_bucket") == bks[0]),
+                        "bk_bucket", bks[0])
+    sdocs = spark.read.parquet(f"{out}/_stream_docs")
+    assert "doc_bucket" in sdocs.columns
+    dbs = sorted(r[0] for r in
+                 sdocs.select("doc_bucket").distinct().collect())
+    assert len(dbs) > 1
+    _pruned_scan_assert(sdocs, sdocs.filter(F.col("doc_bucket") == dbs[0]),
+                        "doc_bucket", dbs[0])
