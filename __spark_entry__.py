@@ -1111,6 +1111,80 @@ def _er_incremental_entities(spark, sf_dir):
                                  "doc_id string, entity_id string")
 
 
+def _er_incremental_matches(spark, sf_dir):
+    """§2.8 streaming, match tail: stream 250 docs in 3 micro-batches
+    through incremental_matches against a 250-doc corpus index, then
+    HARD-ASSERT the full canonical match set equals a batch recompute —
+    every pair sharing a band key with >=1 stream side, scored by the
+    same backend (round 6: the accumulated stream-side index makes
+    cross-batch new-new pairs reachable; this oracle fails if they are
+    not). Rows-only for the driver; the in-entry Python oracle raises
+    on any divergence. No SQL oracle: Structured Streaming + xxhash64
+    MinHash are not one DuckDB query."""
+    import shutil
+    import tempfile
+
+    from ditto_spark.operators.blocking import (attach_texts,
+                                                minhash_band_buckets)
+    from ditto_spark.operators.scoring import score_pairs
+    from ditto_spark.streaming.incremental_er import (build_corpus_index,
+                                                      incremental_matches)
+
+    all_docs = _spans_docs(spark, sf_dir)
+    corpus = all_docs.filter(F.col("doc_id") >= 250).select(
+        F.col("doc_id").cast("string").alias("doc_id"), "spans")
+    streamed = all_docs.filter(F.col("doc_id") < 250).select(
+        F.col("doc_id").cast("string").alias("doc_id"), "spans")
+    tmp = tempfile.mkdtemp(prefix="er_incm_")
+    try:
+        build_corpus_index(corpus, f"{tmp}/index")
+        rows = streamed.collect()
+        third = (len(rows) + 2) // 3
+        for i in range(3):
+            chunk = rows[i * third:(i + 1) * third]
+            (spark.createDataFrame(chunk, streamed.schema).coalesce(1)
+             .write.mode("append").parquet(f"{tmp}/in"))
+        stream = (spark.readStream.schema(streamed.schema)
+                  .option("maxFilesPerTrigger", 1).parquet(f"{tmp}/in"))
+        incremental_matches(spark, stream, f"{tmp}/index", f"{tmp}/out",
+                            f"{tmp}/ck")
+        got = {(min(r["left_id"], r["right_id"]),
+                max(r["left_id"], r["right_id"])): r["match"]
+               for r in spark.read.parquet(f"{tmp}/out").collect()}
+        # batch oracle: candidates = canonical pairs sharing >=1 band
+        # key with at least one STREAM side; same scorer + threshold
+        ser_s = streamed.select(
+            "doc_id", serialize_spans(F.col("spans"),
+                                      drop_empty=True).alias("text"))
+        ser_c = corpus.select(
+            "doc_id", serialize_spans(F.col("spans"),
+                                      drop_empty=True).alias("text"))
+        keys_s = minhash_band_buckets(ser_s, "doc_id", "text", 24, 6, 3)
+        keys_c = minhash_band_buckets(ser_c, "doc_id", "text", 24, 6, 3)
+        all_keys = keys_s.unionByName(keys_c)
+        cands = (keys_s.select(F.col("id").alias("pid"), "block_key")
+                 .join(all_keys, "block_key")
+                 .filter(F.col("pid") != F.col("id"))
+                 .select(F.least("pid", "id").alias("left_id"),
+                         F.greatest("pid", "id").alias("right_id"))
+                 .dropDuplicates(["left_id", "right_id"]))
+        scored = score_pairs(
+            attach_texts(cands, ser_s.unionByName(ser_c)), 0.5)
+        want = {(r["left_id"], r["right_id"]): r["match"]
+                for r in scored.collect()}
+        if got != want:
+            diff = {k for k in set(got) | set(want)
+                    if got.get(k) != want.get(k)}
+            raise AssertionError(
+                f"streamed matches diverge from the batch recompute on "
+                f"{len(diff)} pairs, e.g. {sorted(diff)[:5]}")
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+    return spark.createDataFrame(
+        sorted((lid, rid, m) for (lid, rid), m in got.items()),
+        "left_id string, right_id string, match int")
+
+
 def _sim_incremental_ann(spark, sf_dir):
     """§2.8 streaming, embedding tail (engine addition): stream the
     embeddings table in 3 micro-batches through incremental_ann_topk
@@ -1262,6 +1336,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_span_coverage": _dedup_span_coverage,
         "er_model_scores": _er_model_scores,
         "er_incremental_entities": _er_incremental_entities,
+        "er_incremental_matches": _er_incremental_matches,
         "sim_incremental_ann": _sim_incremental_ann,
         "sim_ann_lsh": _sim_ann_lsh,
         "sim_ann_lsh_multiprobe": _sim_ann_lsh_multiprobe,
