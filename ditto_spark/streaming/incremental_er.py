@@ -210,7 +210,7 @@ def incremental_matches(
     shingle_n: int = 3,
     backend_factory=SurrogateBackend,
     n_store_buckets: int = N_INDEX_BUCKETS,
-) -> None:
+) -> list:
     """Drain the doc stream, matching each micro-batch against the
     corpus index AND every earlier streamed doc; (left_id, right_id,
     match, match_confidence) appended to ``out_path``, with left_id
@@ -312,6 +312,10 @@ def incremental_matches(
         .start()
     )
     q.awaitTermination()
+    # per-batch durationMs for latency diagnostics (same contract as
+    # incremental_entities; tools/stream_bench.py --matches-flatness
+    # reads triggerExecution per batch from it)
+    return q.recentProgress
 
 
 # ---------------------------------------------------------------------------

@@ -411,6 +411,105 @@ def run_ann_flatness(args) -> None:
     spark.stop()
 
 
+def run_matches_flatness(args) -> None:
+    """O(batch) evidence for ``incremental_matches`` (round 6: the
+    static corpus index PLUS the accumulated stream-side index):
+    IDENTICAL measured batches streamed against corpus indexes of two
+    sizes (bucket counts sized to each corpus); per-batch latency and
+    corpus-index rows read per batch stay ~flat iff the probe-bucket
+    pruning holds while the corpus scales."""
+    from pyspark.sql import functions as F
+
+    from ditto_spark.operators.blocking import minhash_band_buckets
+    from ditto_spark.operators.serialize import serialize_spans
+    from ditto_spark.session import get_spark
+    from ditto_spark.streaming.incremental_er import (_bucket_values,
+                                                      _in_buckets,
+                                                      build_corpus_index,
+                                                      incremental_matches)
+    from ditto_spark.synth import distributed_docs
+
+    spark = get_spark("matches-flatness", cores=args.cores,
+                      shuffle_partitions=args.cores)
+    spark.conf.set(
+        "spark.sql.sources.parallelPartitionDiscovery.threshold", "100000")
+    corpus2 = args.corpus2 or args.corpus * args.scale_x
+    buckets2 = args.buckets2 or args.buckets * args.scale_x
+    sizes = [(args.corpus, args.buckets), (corpus2, buckets2)]
+    src = tempfile.mkdtemp(prefix="mflat_src_")
+    probes = _probe_docs(spark, args.batches * args.batch_docs,
+                         n_corpus_entities=args.corpus // 3)
+    schema = probes.schema
+    rows = probes.collect()
+    for i in range(args.batches):
+        chunk = rows[i * args.batch_docs:(i + 1) * args.batch_docs]
+        (spark.createDataFrame(chunk, schema).coalesce(1)
+         .write.mode("append").parquet(src))
+
+    result = {"batches": args.batches, "batch_docs": args.batch_docs,
+              "cores": args.cores, "runs": []}
+    try:
+        for n_corpus, n_buckets in sizes:
+            work = tempfile.mkdtemp(prefix=f"mflat_{n_corpus}_")
+            try:
+                corpus = distributed_docs(spark, n_corpus, seed=17)
+                t0 = time.time()
+                build_corpus_index(corpus, f"{work}/index",
+                                   n_buckets=n_buckets)
+                seed_sec = round(time.time() - t0, 1)
+                stream = (spark.readStream.schema(schema)
+                          .option("maxFilesPerTrigger", 1).parquet(src))
+                progress = incremental_matches(
+                    spark, stream, f"{work}/index", f"{work}/out",
+                    f"{work}/ck", n_store_buckets=n_buckets)
+                ms = per_batch_ms(progress)
+                n_matches = spark.read.parquet(f"{work}/out").filter(
+                    "match = 1").count()
+                # pruned corpus-index read volume, recomputed post-hoc
+                idx = spark.read.parquet(
+                    f"{work}/index").localCheckpoint(eager=True)
+                total = idx.count()
+                pruned = []
+                for i in range(args.batches):
+                    chunk = spark.createDataFrame(
+                        rows[i * args.batch_docs:(i + 1) * args.batch_docs],
+                        schema)
+                    ser = chunk.withColumn(
+                        "text",
+                        serialize_spans(F.col("spans"), drop_empty=True))
+                    keys = minhash_band_buckets(ser, "doc_id", "text",
+                                                24, 6, 3)
+                    bks = _bucket_values(keys, "block_key", n_buckets)
+                    pruned.append(idx.filter(
+                        _in_buckets("bk_bucket", bks)).count())
+                idx.unpersist()
+                result["runs"].append({
+                    "corpus_docs": n_corpus, "n_buckets": n_buckets,
+                    "seed_sec": seed_sec, "per_batch_ms": ms,
+                    "avg_batch_ms": round(sum(ms) / len(ms), 1),
+                    "min_batch_ms": round(min(ms), 1),
+                    "stream_matches": n_matches,
+                    "index_rows_total": total,
+                    "index_rows_read_per_batch": pruned,
+                })
+            finally:
+                shutil.rmtree(work, ignore_errors=True)
+    finally:
+        shutil.rmtree(src, ignore_errors=True)
+    small, big = result["runs"]
+    result["flatness_ratio_avg"] = round(
+        big["avg_batch_ms"] / small["avg_batch_ms"], 3)
+    result["flatness_ratio_min"] = round(
+        big["min_batch_ms"] / small["min_batch_ms"], 3)
+    sp = sum(small["index_rows_read_per_batch"]) / args.batches
+    bp = sum(big["index_rows_read_per_batch"]) / args.batches
+    result["index_rows_read_ratio"] = round(bp / sp, 3) if sp else None
+    result["index_size_ratio"] = round(
+        big["index_rows_total"] / small["index_rows_total"], 3)
+    print(json.dumps(result))
+    spark.stop()
+
+
 def main() -> None:
     ap = argparse.ArgumentParser()
     ap.add_argument("--batches", type=int, default=12)
@@ -419,6 +518,7 @@ def main() -> None:
     ap.add_argument("--cores", type=int, default=8)
     ap.add_argument("--flatness", action="store_true")
     ap.add_argument("--ann-flatness", action="store_true")
+    ap.add_argument("--matches-flatness", action="store_true")
     ap.add_argument("--corpus", type=int, default=25000)
     ap.add_argument("--scale-x", type=int, default=8)
     ap.add_argument("--buckets", type=int, default=128,
@@ -436,6 +536,12 @@ def main() -> None:
         if args.corpus == 25000 and args.buckets == 128:
             args.buckets = 256
         run_ann_flatness(args)
+        return
+
+    if args.matches_flatness:
+        if args.batches == 12 and args.batch_docs == 2000:
+            args.batches, args.batch_docs = 5, 200
+        run_matches_flatness(args)
         return
 
     if args.flatness:
