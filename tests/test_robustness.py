@@ -79,3 +79,47 @@ def test_contamination_pathological_inputs(spark):
     for d in (3, 5):
         assert out[d].n_grams == 0 and out[d].contaminated == 0
     assert out[7].contaminated == 0
+
+
+def test_table_pipeline_pathological_tables(spark):
+    """Catalog-path robustness: empty tables, all-null attribute
+    columns, and unicode values flow through flat_to_docs +
+    run_table_pipeline without error and with sane results."""
+    from ditto_spark.operators.serialize import flat_to_docs
+    from ditto_spark.plans.pipeline import run_table_pipeline
+    from ditto_spark.sources.io import drop_table
+
+    # empty flat table: zero matches, zero entities, no crash
+    empty = spark.createDataFrame([], "doc_id string, a string, b string")
+    out = run_table_pipeline(spark, df=empty)
+    assert out["layout"] == "testing"
+    assert out["matches"].count() == 0
+    assert out["entities"].count() == 0
+
+    # all-null attributes: serialized text is empty, docs survive as
+    # singleton entities
+    nulls = spark.createDataFrame(
+        [("n1", None, None), ("n2", None, None)],
+        "doc_id string, a string, b string")
+    out2 = run_table_pipeline(spark, df=nulls)
+    ents = {r["doc_id"]: r["entity_id"] for r in out2["entities"].collect()}
+    assert set(ents) == {"n1", "n2"}
+    assert ents["n1"] != ents["n2"]  # empty texts must not all-match
+
+    # unicode values through a REAL metastore table
+    drop_table(spark, "t_robust_uni")
+    spark.createDataFrame(
+        [("u1", "Müller Δοκιμή 北京"), ("u2", "Müller Δοκιμή 北京"),
+         ("u3", "totally different text")],
+        "doc_id string, name string").write.saveAsTable("t_robust_uni")
+    out3 = run_table_pipeline(spark, "t_robust_uni")
+    matched = {frozenset((r.left_id, r.right_id))
+               for r in out3["matches"].filter("match = 1").collect()}
+    assert frozenset(("u1", "u2")) in matched
+    assert not any("u3" in p for p in matched)
+
+    # production layout with an empty table: no pairs, no crash
+    pempty = spark.createDataFrame([], "x_left string, x_right string")
+    out4 = run_table_pipeline(spark, df=pempty)
+    assert out4["layout"] == "production"
+    assert out4["matches"].count() == 0
