@@ -13,6 +13,8 @@ each operator has an exact DuckDB oracle.
   simhash_near_dups      banded hamming-distance candidate join
   embedding_near_dups    cosine >= threshold pair join (see similarity.py
                          for the top-k/ANN path)
+  semantic_near_dups     raw text -> model encode -> RP-LSH cosine pairs
+                         (paraphrase-robust tier above token overlap)
   repeated_ngram_spans   cross-doc repeated exact n-token windows
   repeated_span_coverage per-doc repeated-window coverage fraction
   cross_corpus_contamination  train/test n-gram overlap (decontamination)
@@ -406,3 +408,43 @@ def repeated_span_coverage(
                         / F.col("n_tokens"), 6)))
         .select("doc_id", "n_tokens", "covered", "coverage")
     )
+
+
+def semantic_near_dups(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    encoder_factory=None,
+    threshold: float = 0.9,
+    n_bits: int = 8,
+    multiprobe: bool = True,
+) -> DataFrame:
+    """Semantic (embedding-cosine) near-duplicate pairs straight from
+    RAW TEXT: encode with a real model (``embed.model_embed`` — one
+    Arrow-batched mapInPandas stage, model pinned per worker; default
+    ``npmodel.NumpySentenceEncoder``) and bucket with RP-LSH
+    (``similarity.embedding_near_dups_lsh`` — one equi-join on sketch
+    bucket, Hamming-1 multiprobe, exact-cosine verify). The missing
+    tier between token-overlap dedup (MinHash/SimHash/Jaccard — blind
+    to paraphrase) and a human: paraphrased or reordered duplicates
+    share embedding direction long after they stop sharing shingles.
+
+    Composition of two already-scale-shaped operators, so the 100-TB
+    contract is inherited: encode is embarrassingly parallel; the pair
+    join is bucket-equi, never all-pairs. ``encoder_factory=None`` uses
+    the frozen seed-0 sentence encoder (deterministic; a converted real
+    encoder checkpoint slots in via the same factory surface)."""
+    from ditto_spark.operators.embed import model_embed
+    from ditto_spark.operators.similarity import embedding_near_dups_lsh
+
+    if encoder_factory is None:
+        from ditto_spark.operators.npmodel import NumpySentenceEncoder
+
+        def encoder_factory():
+            return NumpySentenceEncoder(seed=0)
+
+        encoder_factory.fingerprint = "numpy-sentence-encoder-seed0"
+    vecs = model_embed(df, id_col, text_col, encoder_factory)
+    return embedding_near_dups_lsh(vecs, threshold=threshold,
+                                   n_bits=n_bits, id_col="id",
+                                   vec_col="vec", multiprobe=multiprobe)

@@ -432,3 +432,25 @@ def test_cross_corpus_contamination_planted(spark):
     assert out[11].contaminated == 0 and out[11].n_hit_grams == 0
     assert out[12].n_grams == 0 and out[12].contaminated == 0
     assert out[12].hit_fraction == 0.0
+
+
+def test_semantic_near_dups_from_raw_text(spark):
+    """semantic_near_dups: raw text -> per-worker model encode -> RP-LSH
+    bucket join -> cosine-verified pairs. Identical texts must pair at
+    cosine ~1; disjoint-vocabulary texts must not pair at a high
+    threshold."""
+    from ditto_spark.operators.dedup import semantic_near_dups
+
+    rows = [("a1", "quarterly report acme revenue growth outlook"),
+            ("a2", "quarterly report acme revenue growth outlook"),
+            ("b1", "zebra quantum flute harvest migration pattern")]
+    df = spark.createDataFrame(rows, "doc_id string, text string")
+    got = {(r.left_id, r.right_id): r.cosine
+           for r in semantic_near_dups(df, threshold=0.99).collect()}
+    key = ("a1", "a2") if ("a1", "a2") in got else ("a2", "a1")
+    assert key in got and got[key] >= 0.99
+    assert all("b1" not in k for k in got)
+    # deterministic across invocations (frozen default encoder)
+    again = {(r.left_id, r.right_id): r.cosine
+             for r in semantic_near_dups(df, threshold=0.99).collect()}
+    assert again == got
