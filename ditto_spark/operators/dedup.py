@@ -29,6 +29,7 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
+from ditto_spark.cachereg import cache_registered
 from ditto_spark.operators.blocking import minhash_signature, shingles, tokenize
 from ditto_spark.operators.hashing import porthash
 
@@ -60,11 +61,20 @@ def ngram_jaccard_pairs(
     removal) -> self-join on shingle -> count common per pair -> jaccard
     from |A|,|B|,|A∩B|. Pairs below threshold are filtered before the
     final projection.
+
+    The (id, n_sh, shingle) table feeds BOTH sides of the self-join, so
+    it is registry-cached: round 6's plan computed the whole shingle
+    subtree (explode + id-shuffle + window + distinct) once per join
+    side (plan-verified duplicate subtrees; the cache halves the
+    operator's dominant cost and is released by the caller's
+    cache_scope / clear_operator_caches).
     """
     from pyspark.sql import Window
 
     # codegen shingle construction: posexplode tokens + window lead()
-    # (interpreted HOF slice/concat lambdas cost ~10x on this path);
+    # (interpreted HOF slice/concat lambdas cost ~10x on this path;
+    # re-measured in round 7: the array-expression formulation, even
+    # evaluated once behind a cache, is 1.4-2x slower end-to-end);
     # concat_ws skips the null leads so docs shorter than n still emit
     # their partial whole-text shingle at pos 0
     toks = df.select(
@@ -88,6 +98,7 @@ def ngram_jaccard_pairs(
                  .filter(F.col("c") > max_shingle_df).select("shingle"))
         ex = ex.join(heavy, "shingle", "left_anti")
     ex = ex.withColumn("n_sh", F.count("*").over(Window.partitionBy("id")))
+    ex = cache_registered(ex)
     a = ex.select(F.col("id").alias("left_id"), F.col("n_sh").alias("na"),
                   "shingle")
     b = ex.select(F.col("id").alias("right_id"), F.col("n_sh").alias("nb"),
@@ -201,6 +212,8 @@ def simhash_near_dups(df: DataFrame, id_col: str, text_col: str,
     """Near-dups by simhash hamming distance <= k, using the 4x8-bit band
     trick (pigeonhole: distance<=3 over 4 bands => >=1 band equal), so the
     join is an equi-join on (band_idx, band_value), never a cross join."""
+    # the banded table feeds both sides of the self-join: cache it so
+    # the simhash explode+aggregate subtree runs once, not twice
     sh = simhash_df(df, id_col, text_col)
     banded = sh.select(
         "id", "simhash",
@@ -215,6 +228,7 @@ def simhash_near_dups(df: DataFrame, id_col: str, text_col: str,
             ])
         ).alias("band"),
     ).select("id", "simhash", "band.band_idx", "band.band_val")
+    banded = cache_registered(banded)
     a = banded.select(F.col("id").alias("left_id"),
                       F.col("simhash").alias("sh_l"), "band_idx", "band_val")
     b = banded.select(F.col("id").alias("right_id"),
@@ -266,24 +280,32 @@ def rolling_gram_hashes(
     n: int,
 ) -> DataFrame:
     """(doc_id, start_pos, gram_hash) — every FULL n-token rolling
-    window, hashed with the portable md5-prefix family. All codegen:
-    posexplode tokens + window lead() (one shuffle on doc id). Unlike
+    window, hashed with the portable md5-prefix family. Zero-shuffle:
+    the window array is built per row (tokens -> gram array -> one
+    posexplode); the previous posexplode + window-lead formulation
+    shuffled and sorted the whole token stream on doc id first. Unlike
     shingles, partial windows from docs shorter than n are DROPPED
     (exact-substring semantics)."""
-    from pyspark.sql import Window
-
-    toks = df.select(
-        F.col(id_col).alias("doc_id"),
-        F.posexplode(tokenize(F.col(text_col))).alias("start_pos", "tok"),
-    )
-    w = Window.partitionBy("doc_id").orderBy("start_pos")
-    leads = [F.lead("tok", j).over(w) for j in range(1, n)]
+    toks = F.col("_toks")
+    grams = F.when(
+        F.size(toks) >= n,
+        F.transform(
+            F.sequence(F.lit(0), F.size(toks) - n),
+            lambda i: porthash(F.concat_ws(" ", F.slice(toks, i + 1, n))),
+        ),
+    ).otherwise(F.array().cast("array<long>"))
+    # posexplode_OUTER: plain posexplode lets the optimizer infer a
+    # size(_g) > 0 filter pushed below the projections, inlining the
+    # whole interpreted gram-hash chain into a scan filter that is then
+    # evaluated twice per row (see ngram_jaccard_pairs); the null row an
+    # empty array emits is dropped explicitly instead.
     return (
-        toks.withColumn("_last", leads[-1] if leads else F.col("tok"))
-        .withColumn("gram_hash",
-                    porthash(F.concat_ws(" ", F.col("tok"), *leads)))
-        .filter(F.col("_last").isNotNull())
-        .select("doc_id", "start_pos", "gram_hash")
+        df.select(F.col(id_col).alias("doc_id"),
+                  tokenize(F.col(text_col)).alias("_toks"))
+        .select(F.col("doc_id"), grams.alias("_g"))
+        .select("doc_id",
+                F.posexplode_outer("_g").alias("start_pos", "gram_hash"))
+        .filter(F.col("gram_hash").isNotNull())
     )
 
 
@@ -362,7 +384,9 @@ def repeated_ngram_spans(
     pairs; the join fanout per hash is the true cross-doc repeat count.
     At 100TB the hash agg is the only global stage and it partial-
     aggregates map-side."""
-    grams = rolling_gram_hashes(df, id_col, text_col, n)
+    # grams feed two consumers (the document-frequency aggregate and the
+    # join back): registry-cache so the tokenize+hash pass runs once
+    grams = cache_registered(rolling_gram_hashes(df, id_col, text_col, n))
     rep = (grams.groupBy("gram_hash")
            .agg(F.countDistinct("doc_id").alias("ndocs"))
            .filter(F.col("ndocs") >= min_df))
