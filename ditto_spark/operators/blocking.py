@@ -142,24 +142,61 @@ def salt_hot_keys(
 def global_rank(df: DataFrame, key: Column, id_col: str = "doc_id",
                 n_parts: int = 0) -> DataFrame:
     """Add a dense global rank ``rn`` ordered by ``(key, id)`` without a
-    global single-partition window: range-partition, rank within
-    partition, add broadcast per-partition offsets (DataFrame-native
-    zipWithIndex). Deterministic because the order key is total."""
-    n_parts = n_parts or df.sparkSession.conf.get(
-        "spark.sql.shuffle.partitions")
+    global single-partition window: range-partition, sort within
+    partition, number rows with ``monotonically_increasing_id`` (its
+    layout is partition_index * 2^33 + row-offset-in-iteration-order, so
+    after the in-partition sort it IS the per-partition rank — round 7:
+    the previous ``row_number() over (partition by spark_partition_id)``
+    forced a SECOND full exchange of the corpus on _pid plus a window,
+    because Catalyst cannot know each physical partition holds exactly
+    one _pid value), then add broadcast per-partition offsets
+    (DataFrame-native zipWithIndex). Deterministic because the order key
+    is total."""
+    if not n_parts:
+        # scale-adaptive partition count (guide: derive from input size,
+        # not a constant): ~64 MB of input per range partition, capped
+        # at the session's shuffle parallelism. A corpus-sized input
+        # keeps the full configured parallelism; a small one avoids
+        # paying range-boundary sampling + per-partition bookkeeping
+        # over dozens of near-empty partitions. Plan-statistics probe
+        # only — no job.
+        conf_parts = int(df.sparkSession.conf.get(
+            "spark.sql.shuffle.partitions"))
+        try:
+            est = int(str(df._jdf.queryExecution().optimizedPlan()
+                          .stats().sizeInBytes()))
+        except Exception:
+            est = None
+        if est is None or est <= 0:
+            n_parts = conf_parts
+        else:
+            n_parts = max(1, min(conf_parts,
+                                 -(-est // (64 * 1024 * 1024))))
     parted = (
         df.withColumn("_k", key)
         .repartitionByRange(int(n_parts), F.col("_k"), F.col(id_col))
-        .withColumn("_pid", F.spark_partition_id())
+        .sortWithinPartitions(F.col("_k"), F.col(id_col))
     )
-    w = Window.partitionBy("_pid").orderBy(F.col("_k"), F.col(id_col))
     # cache BEFORE branching into (ranked, counts): repartitionByRange
     # samples to pick boundaries, and a re-executed exchange (AQE may not
     # reuse it) can sample DIFFERENT boundaries — offsets keyed on _pid
     # would then disagree with the main branch and produce duplicate or
-    # missing ranks (observed at sf0.1)
+    # missing ranks (observed at sf0.1). monotonically_increasing_id is
+    # non-deterministic-tagged, so the optimizer cannot reorder it past
+    # the sort; the cache freezes its values for both consumers.
+    mid = F.monotonically_increasing_id()
     ranked = cache_registered(
-        parted.withColumn("_rn_in", F.row_number().over(w)))
+        parted.withColumn("_mid", mid)
+        .withColumn("_pid", F.shiftright(F.col("_mid"), 33).cast("int"))
+        .withColumn("_rn_in",
+                    (F.col("_mid").bitwiseAND(F.lit((1 << 33) - 1))
+                     + F.lit(1)))
+        .drop("_mid"))
+    if int(n_parts) == 1:
+        # single partition: the in-partition row number IS the global
+        # rank — skip the range-sampling and counts-collect jobs
+        return ranked.withColumn("rn", F.col("_rn_in")).drop(
+            "_pid", "_rn_in")
     # per-partition offsets: the counts frame has exactly n_parts rows, so
     # the prefix sum is driver-side metadata (a bounded collect), not a
     # single-partition window over data
@@ -419,6 +456,7 @@ def minhash_lsh_blocking(
     drop_marker_tokens: bool = True,
     with_texts: bool = True,
     token_hash: str = "xxhash64",
+    dedup_pairs: bool = True,
 ) -> DataFrame:
     """Candidate pairs whose MinHash signatures collide in >=1 band.
 
@@ -431,6 +469,15 @@ def minhash_lsh_blocking(
     drop_marker_tokens=True is the serialized-entity default (COL/VAL
     scaffolding must not enter the signatures); pass False for raw-text
     corpora where 'col'/'val' are legitimate content words.
+
+    ``dedup_pairs=False`` skips the per-pass dropDuplicates (one
+    exchange + aggregate over the pair stream): for callers that feed
+    ``union_candidates``, whose groupBy(left_id, right_id) dedupes the
+    union anyway, the per-pass dedup is a second aggregation on the
+    same keys (round 7). Pairs sharing k bands then appear k times and
+    block_key becomes the min over ALL shared band keys (the per-pass
+    dedup kept an arbitrary one), which downstream min-aggregation
+    makes deterministic.
     """
     keys = minhash_band_buckets(df, id_col, text_col, n_hashes, bands,
                                 shingle_n, drop_marker_tokens, token_hash)
@@ -449,8 +496,9 @@ def minhash_lsh_blocking(
         a.join(b, (F.col("block_key") == F.col("bk2"))
                & (F.col("left_id") < F.col("right_id")))
         .drop("bk2")
-        .dropDuplicates(["left_id", "right_id"])
     )
+    if dedup_pairs:
+        pairs = pairs.dropDuplicates(["left_id", "right_id"])
     if not with_texts:
         return pairs
     return attach_texts(pairs, df, id_col, text_col)

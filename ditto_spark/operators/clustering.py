@@ -217,8 +217,15 @@ def _cc_driver_union_find(canon_edges: DataFrame) -> DataFrame:
                 ra, rb = rb, ra
             parent[rb] = ra
     nodes = set(src_list) | set(dst_list)
-    return spark.createDataFrame(
-        [(x, find(x)) for x in nodes], schema)
+    # Arrow return path (symmetric with the Arrow ingest): building the
+    # label table from a pandas frame moves the columns in one Arrow
+    # transfer; the previous row-list createDataFrame pickled up to 2M
+    # tuples back through py4j at the 1M-edge routing bound.
+    import pandas as pd
+
+    labels = pd.DataFrame({"doc_id": list(nodes)})
+    labels["entity_id"] = labels["doc_id"].map(find)
+    return spark.createDataFrame(labels, schema)
 
 
 def _restore_checkpoint_dir(sc, prev_dir: str | None) -> None:

@@ -257,7 +257,7 @@ def embedding_near_dups(
     correctness baseline; the LSH-bucketed scale path lives in
     similarity.py. ``left_filter`` restricts the probe side (sampled
     audits at scale)."""
-    from ditto_spark.operators.similarity import cosine
+    from ditto_spark.operators.similarity import cosine_vec
 
     a = emb.select(F.col(id_col).alias("left_id"),
                    F.col(vec_col).alias("va"))
@@ -267,7 +267,7 @@ def embedding_near_dups(
                    F.col(vec_col).alias("vb"))
     return (
         a.join(b, F.col("left_id") < F.col("right_id"))
-        .withColumn("cosine", F.round(cosine(F.col("va"), F.col("vb")), 6))
+        .withColumn("cosine", F.round(cosine_vec(F.col("va"), F.col("vb")), 6))
         .filter(F.col("cosine") >= threshold)
         .select("left_id", "right_id", "cosine")
     )

@@ -170,7 +170,7 @@ def two_table_topk_blocking(
     (either element None to probe that side) and pay ZERO probe jobs;
     otherwise probe results are memoized per plan fingerprint so
     repeated routing over the same input costs one job total."""
-    from ditto_spark.operators.similarity import cosine, ivf_topk
+    from ditto_spark.operators.similarity import cosine_vec, ivf_topk
 
     if exact is None:
         hint_a, hint_b = size_hint or (None, None)
@@ -202,7 +202,7 @@ def two_table_topk_blocking(
     ea = ea.select(F.col("id").alias("left_id"), F.col("vec").alias("va"))
     eb = eb.select(F.col("id").alias("right_id"), F.col("vec").alias("vb"))
     scored = ea.crossJoin(eb).withColumn(
-        "sim", F.round(cosine(F.col("va"), F.col("vb")), 6))
+        "sim", F.round(cosine_vec(F.col("va"), F.col("vb")), 6))
     if threshold is not None:
         scored = scored.filter(F.col("sim") >= threshold)
     w = Window.partitionBy("right_id").orderBy(F.desc("sim"),

@@ -202,10 +202,14 @@ def score_id_pairs_native(
         (F.col("block_key") if has_bk else F.lit(None).cast("string")
          ).alias("block_key"),
     )
-    vt = docs.select(
+    # two consumers (left and right attach): registry-cache so the
+    # per-doc tokenization runs once, not once per join side
+    from ditto_spark.cachereg import cache_registered
+
+    vt = cache_registered(docs.select(
         F.col(id_col).alias("_vid"), F.col(text_col).alias("_vtxt"),
         value_tokens_col(F.col(text_col)).alias("_vtok"),
-    )
+    ))
     joined = (
         proj.join(
             vt.select(F.col("_vid").alias("left_id"),

@@ -51,6 +51,48 @@ def cosine(a: Column, b: Column) -> Column:
     return dot(a, b) / (norm(a) * norm(b))
 
 
+def _cosine_np(qs: pd.Series, ns: pd.Series) -> pd.Series:
+    """Vectorized twin of ``cosine`` — BIT-IDENTICAL by construction
+    (guide §4.2: hand whole Arrow batches to numpy instead of running
+    interpreted HOF lambdas per pair, measured ~10x on the pair-scoring
+    stages): elementwise float64 products (same IEEE ops as zip_with's
+    cast-and-multiply), then ``np.cumsum`` along the row — a sequential
+    left-fold, the exact addition order of the ``aggregate`` expression.
+    ``np.sqrt``/division are correctly-rounded IEEE like the JVM's.
+    Rounding stays in the JVM (callers wrap in F.round) so Spark's
+    HALF_UP semantics are untouched."""
+    if len(qs) == 0:
+        return pd.Series([], dtype="float64")
+    if qs.isna().any() or ns.isna().any():
+        # null vector -> null cosine, matching the expression path
+        out = pd.Series([None] * len(qs), index=qs.index, dtype="float64")
+        mask = ~(qs.isna() | ns.isna())
+        if mask.any():
+            out[mask] = _cosine_np(qs[mask], ns[mask])
+        return out
+    A = np.asarray(qs.tolist(), dtype=np.float64)
+    B = np.asarray(ns.tolist(), dtype=np.float64)
+    dots = np.cumsum(A * B, axis=1)[:, -1]
+    na = np.sqrt(np.cumsum(A * A, axis=1)[:, -1])
+    nb = np.sqrt(np.cumsum(B * B, axis=1)[:, -1])
+    return pd.Series(dots / (na * nb), index=qs.index)
+
+
+# DataType instance, not a DDL string: string return types are parsed
+# through the active SparkContext, which does not exist at import time
+from pyspark.sql.types import DoubleType as _DoubleType
+
+_cosine_batch = F.pandas_udf(_cosine_np, _DoubleType())
+
+
+def cosine_vec(a: Column, b: Column) -> Column:
+    """Arrow-batched ``cosine`` for pair-scoring hot paths. Same value,
+    different execution: one numpy pass per batch instead of per-row
+    interpreted lambdas. Requires fixed-dimension, non-ragged vectors
+    (every embedding source in this engine)."""
+    return _cosine_batch(a, b)
+
+
 def cosine_topk(
     emb: DataFrame,
     queries: DataFrame,
@@ -68,7 +110,7 @@ def cosine_topk(
                    F.col(vec_col).alias("nv"))
     scored = (
         q.join(c, F.col("query_id") != F.col("neighbor_id"))
-        .withColumn("cosine", F.round(cosine(F.col("qv"), F.col("nv")), 6))
+        .withColumn("cosine", F.round(cosine_vec(F.col("qv"), F.col("nv")), 6))
     )
     w = Window.partitionBy("query_id").orderBy(
         F.desc("cosine"), F.asc("neighbor_id"))
@@ -328,7 +370,7 @@ def ivf_topk(
     if exclude_self:
         cands = cands.filter(F.col("query_id") != F.col("neighbor_id"))
     scored = cands.withColumn(
-        "cosine", F.round(cosine(F.col("qv"), F.col("nv")), 6))
+        "cosine", F.round(cosine_vec(F.col("qv"), F.col("nv")), 6))
     w = Window.partitionBy("query_id").orderBy(
         F.desc("cosine"), F.asc("neighbor_id"))
     return (
@@ -377,7 +419,7 @@ def embedding_near_dups_lsh(
     )
     return (
         cands.withColumn("cosine",
-                         F.round(cosine(F.col("va"), F.col("vb")), 6))
+                         F.round(cosine_vec(F.col("va"), F.col("vb")), 6))
         .filter(F.col("cosine") >= threshold)
         .select("left_id", "right_id", "cosine")
     )
@@ -420,7 +462,7 @@ def ann_topk_lsh(
         "bucket",
     ).filter(F.col("query_id") != F.col("neighbor_id"))
     scored = cands.withColumn(
-        "cosine", F.round(cosine(F.col("qv"), F.col("nv")), 6))
+        "cosine", F.round(cosine_vec(F.col("qv"), F.col("nv")), 6))
     w = Window.partitionBy("query_id").orderBy(
         F.desc("cosine"), F.asc("neighbor_id"))
     return (

@@ -248,10 +248,14 @@ def run_pipeline(
              else cfg.minhash_bands)
 
     def build_candidates() -> DataFrame:
+        # dedup_pairs=False: union_candidates' groupBy(left, right)
+        # dedupes the union anyway — the per-pass dropDuplicates was a
+        # second exchange + aggregation over the same pair keys
         mh = B.minhash_lsh_blocking(
             serialized, n_hashes=cfg.minhash_hashes, bands=bands,
             shingle_n=cfg.shingle_n, max_bucket_rows=cfg.max_bucket_rows,
             with_texts=False, token_hash=cfg.token_hash,
+            dedup_pairs=False,
         )
         key = cfg.sn_key_expr if cfg.sn_key_expr is not None else sn_key()
         sn = B.sorted_neighborhood(serialized, key, window=cfg.sn_window,

@@ -31,7 +31,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
-from ditto_spark.operators.similarity import cosine, rp_lsh_buckets
+from ditto_spark.operators.similarity import cosine_vec, rp_lsh_buckets
 from ditto_spark.streaming.incremental_er import (N_INDEX_BUCKETS,
                                                   _check_bucket_meta,
                                                   _hash_bucket,
@@ -140,7 +140,7 @@ def incremental_ann_topk(
         w = Window.partitionBy("query_id").orderBy(
             F.desc("cosine"), F.asc("neighbor_id"))
         topk = (cands.withColumn(
-            "cosine", F.round(cosine(F.col("qv"), F.col("nv")), 6))
+            "cosine", F.round(cosine_vec(F.col("qv"), F.col("nv")), 6))
             .withColumn("rank", F.row_number().over(w))
             .filter(F.col("rank") <= k)
             .select("query_id", "neighbor_id", "cosine", "rank"))
