@@ -239,6 +239,15 @@ def incremental_matches(
 
     def process(batch: DataFrame, batch_id: int) -> None:
         _check_bucket_meta(spark, index_path, n_store_buckets)
+        # out_path pins its OWN layout count too (ADVICE r6): the
+        # accumulated _stream_docs/_stream_index under out_path are
+        # laid out with n_store_buckets, and a later run against the
+        # same out_path with a different count (e.g. after rebuilding
+        # the corpus index, whose fresh marker passes the index check)
+        # would silently prune them to wrong partitions and drop
+        # cross-batch matches. The marker is minted at stream start
+        # below (while out_path is still empty); here it is verified.
+        _check_bucket_meta(spark, out_path, n_store_buckets)
         ser = (batch.withColumn(
             "text", serialize_spans(F.col("spans"), drop_empty=True))
             .select(F.col("doc_id").cast("string").alias("doc_id"), "text")
@@ -286,7 +295,19 @@ def incremental_matches(
         corpus_docs = (index.select(F.col("corpus_id").alias("doc_id"),
                                     F.col("corpus_text").alias("text"))
                        .dropDuplicates(["doc_id"]))
-        all_docs = ser.unionByName(docs_prior).unionByName(corpus_docs)
+        # ONE text per doc_id (ADVICE r6): a doc_id on both the corpus
+        # and stream sides (or a re-streamed doc) would fan each
+        # affected candidate into multiple scored rows through
+        # attach_texts' inner join. Precedence: current batch > prior
+        # stream > corpus; ties inside one tier (a doc re-streamed in
+        # two prior batches) break on the text itself — deterministic.
+        all_docs = (
+            ser.withColumn("_prio", F.lit(3))
+            .unionByName(docs_prior.withColumn("_prio", F.lit(2)))
+            .unionByName(corpus_docs.withColumn("_prio", F.lit(1)))
+            .groupBy("doc_id")
+            .agg(F.max_by("text", F.struct("_prio", "text")).alias("text"))
+        )
         scored = score_pairs(attach_texts(cands, all_docs),
                              threshold, backend_factory)
         # idempotent per-batch sink: a batch retried after a crash
@@ -305,6 +326,9 @@ def incremental_matches(
          .write.mode("overwrite").partitionBy("bk_bucket")
          .parquet(f"{out_path}/_stream_index/batch={batch_id}"))
 
+    # mint out_path's layout marker while the store is still empty (a
+    # resumed stream verifies instead) — see the per-batch check above
+    _check_bucket_meta(spark, out_path, n_store_buckets)
     q = (
         stream_docs.writeStream.foreachBatch(process)
         .option("checkpointLocation", checkpoint)

@@ -68,9 +68,19 @@ def test_convert_roundtrip_scores_pairs(tmp_path):
     cfg = [int(x) for x in weights["_config"]]
     assert cfg == [V, D, H, FF, L, P]
     assert {k for k in dropped} == {
-        "bert.embeddings.token_type_embeddings.weight",
+        "bert.embeddings.token_type_embeddings.weight "
+        "(row 0 folded into position embeddings)",
         "bert.pooler.dense.weight", "bert.pooler.dense.bias",
         "bert.embeddings.position_ids"}
+    # the token-type fold is applied, not silently dropped (ADVICE r6):
+    # pos_emb' = pos_emb + token_type[0], exact float32 add
+    src = _hf_state()
+    expected_pe = (
+        src["bert.embeddings.position_embeddings.weight"].astype(np.float32)
+        + src["bert.embeddings.token_type_embeddings.weight"]
+        .astype(np.float32)[0])
+    np.testing.assert_array_equal(
+        weights["bert.embeddings.position_embeddings.weight"], expected_pe)
     path = str(tmp_path / "conv.npz")
     save_checkpoint(weights, path)
     loaded = load_checkpoint(path)  # consumer-side validation passes

@@ -94,12 +94,19 @@ _PASSTHROUGH = {
     "fc.bias",
 }
 
-# keys a faithful conversion legitimately drops (see module docstring)
+# keys a faithful conversion legitimately drops (see module docstring).
+# token_type_embeddings is NOT dropped blindly: Ditto calls
+# self.bert(x) with token_type_ids=None, so HF adds token-type row 0 to
+# EVERY position — for BERT-family checkpoints that row is trained and
+# non-zero. convert_state folds row 0 into the position-embedding table
+# (exact equivalence at zero runtime cost) and only then records the
+# key as dropped (ADVICE r6).
 _DROP_PATTERNS = [
-    re.compile(r"^bert\.embeddings\.token_type_embeddings\."),
     re.compile(r"^bert\.pooler\."),
     re.compile(r"position_ids$"),
 ]
+
+_TOKEN_TYPE_KEY = "bert.embeddings.token_type_embeddings.weight"
 
 _LAYER_RE = re.compile(r"^bert\.encoder\.layer\.(\d+)\.(.+)$")
 
@@ -125,9 +132,13 @@ def convert_state(sd: dict, n_heads: int | None = None,
         partition_ditto_state(sd)  # fail loudly on a non-matcher layout
     out: dict = {}
     dropped: list[str] = []
+    token_type: "np.ndarray | None" = None
     max_layer = -1
     for key, val in sd.items():
         arr = np.asarray(getattr(val, "numpy", lambda: val)())
+        if key == _TOKEN_TYPE_KEY:
+            token_type = arr.astype(np.float32)
+            continue
         if key in _PASSTHROUGH:
             out[key] = arr.astype(np.float32)
             continue
@@ -159,7 +170,18 @@ def convert_state(sd: dict, n_heads: int | None = None,
     pe = out["bert.embeddings.position_embeddings.weight"]
     if pos_offset:
         pe = pe[pos_offset:]
-        out["bert.embeddings.position_embeddings.weight"] = pe
+    if token_type is not None:
+        # fold: with token_type_ids=None HF adds token-type row 0 at
+        # every position, so pos_emb' = pos_emb + tt[0] reproduces the
+        # torch embedding sum exactly up to float32 associativity
+        # (HF computes (word+tt)+pos; one ≤1-ulp reassociation) —
+        # versus silently dropping a trained non-zero vector, the
+        # divergence ADVICE r6 flagged. Recorded as dropped only AFTER
+        # folding.
+        pe = pe + token_type[0]
+        dropped.append(_TOKEN_TYPE_KEY + " (row 0 folded into "
+                       "position embeddings)")
+    out["bert.embeddings.position_embeddings.weight"] = pe
     vocab, d_model = we.shape
     d_ff = out["bert.encoder.layer.0.ffn.in.weight"].shape[0]
     if n_heads is None:
