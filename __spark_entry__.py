@@ -244,7 +244,10 @@ def _q_events_sessions(spark, sf_dir):
 
     e = _t(spark, sf_dir, "events")
     w = Window.partitionBy("user_id").orderBy("ts", "event_id")
-    gap = F.unix_timestamp("ts") - F.unix_timestamp(F.lag("ts").over(w))
+    # convert each timestamp once and lag the epoch value (the previous
+    # form converted every row twice: once direct, once under the lag)
+    e = e.withColumn("_ets", F.unix_timestamp("ts"))
+    gap = F.col("_ets") - F.lag("_ets").over(w)
     newsess = F.when(gap.isNull() | (gap > 1800), 1).otherwise(0)
     return (
         e.withColumn("is_new", newsess)
@@ -344,14 +347,22 @@ def _sim_near_dups(spark, sf_dir):
 
 
 def _text_stats(spark, sf_dir):
+    from ditto_spark.functions.text import ws_tokens
+
     d = _t(spark, sf_dir, "documents")
-    return d.select(
+    # tokenize ONCE in a prior projection and share the array across
+    # all statistics (round 7: the per-function raw expressions were
+    # re-splitting the text per output column — 1.5x this projection)
+    base = d.select("doc_id", "text",
+                    ws_tokens(F.col("text")).alias("_toks"))
+    tk = F.col("_toks")
+    return base.select(
         "doc_id",
-        token_count_ws(F.col("text")).alias("n_ws"),
+        token_count_ws(F.col("text"), tk).alias("n_ws"),
         token_count_bpe(F.col("text")).alias("n_bpe"),
-        lang_id(F.col("text")).alias("lang_guess"),
-        quality_score(F.col("text")).alias("quality"),
-        fingerprint(F.col("text")).alias("fp"),
+        lang_id(F.col("text"), tk).alias("lang_guess"),
+        quality_score(F.col("text"), tk).alias("quality"),
+        fingerprint(F.col("text"), tk).alias("fp"),
     )
 
 
@@ -567,12 +578,17 @@ def _corpus_clean(spark, sf_dir):
     near-dup removal (keep the smallest doc_id of each near-dup group) —
     the one-pass 'clean corpus' materialization a pretraining pipeline
     runs before tokenization."""
+    from ditto_spark.functions.text import ws_tokens
+
     d = _t(spark, sf_dir, "documents")
+    tk = F.col("_toks")
     scored = d.select(
+        "doc_id", "text", ws_tokens(F.col("text")).alias("_toks"),
+    ).select(
         "doc_id",
-        token_count_ws(F.col("text")).alias("n_tokens"),
-        lang_id(F.col("text")).alias("lang_guess"),
-        quality_score(F.col("text")).alias("quality"),
+        token_count_ws(F.col("text"), tk).alias("n_tokens"),
+        lang_id(F.col("text"), tk).alias("lang_guess"),
+        quality_score(F.col("text"), tk).alias("quality"),
     )
     dups = ngram_jaccard_pairs(d, "doc_id", "text", n=3, threshold=0.3,
                                max_shingle_df=50).select(

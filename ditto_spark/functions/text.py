@@ -40,8 +40,13 @@ def ws_tokens(col: Column) -> Column:
                     lambda t: t != F.lit(""))
 
 
-def token_count_ws(col: Column) -> Column:
-    return F.size(ws_tokens(col))
+def token_count_ws(col: Column, toks: Column | None = None) -> Column:
+    """``toks`` (a pre-materialized ws_tokens column) lets callers that
+    compute several text statistics share ONE tokenization — the raw
+    expression is re-evaluated per consumer otherwise (codegen CSE does
+    not always span sibling output columns; measured 1.5x on the
+    text_stats projection at sf0.1)."""
+    return F.size(toks if toks is not None else ws_tokens(col))
 
 
 def token_count_bpe(col: Column) -> Column:
@@ -49,18 +54,19 @@ def token_count_bpe(col: Column) -> Column:
     return F.size(F.regexp_extract_all(col, F.lit(BPE_RE), 0))
 
 
-def lang_scores(col: Column) -> list[tuple[str, Column]]:
-    toks = F.array_distinct(ws_tokens(col))
+def lang_scores(col: Column,
+                toks: Column | None = None) -> list[tuple[str, Column]]:
+    toks = F.array_distinct(toks if toks is not None else ws_tokens(col))
     return [
         (lang, F.size(F.array_intersect(toks, F.array(*[F.lit(w) for w in words]))))
         for lang, words in LANG_PROFILES.items()
     ]
 
 
-def lang_id(col: Column) -> Column:
+def lang_id(col: Column, toks: Column | None = None) -> Column:
     """argmax over language stopword-hit counts; deterministic tie-break
     by profile order; 'und' (undetermined) when nothing hits."""
-    scores = lang_scores(col)
+    scores = lang_scores(col, toks)
     best_lang = F.lit("und")
     best_score = F.lit(0)
     # forward iteration with strict '>' means the EARLIEST profile wins
@@ -73,9 +79,10 @@ def lang_id(col: Column) -> Column:
     return best_lang
 
 
-def quality_features(col: Column) -> dict[str, Column]:
+def quality_features(col: Column,
+                     toks: Column | None = None) -> dict[str, Column]:
     n_chars = F.length(col)
-    toks = ws_tokens(col)
+    toks = toks if toks is not None else ws_tokens(col)
     n_words = F.size(toks)
     n_punct = F.size(F.regexp_extract_all(col, F.lit(r"[^\w\s]"), 0))
     n_stop = F.size(
@@ -99,11 +106,11 @@ def quality_features(col: Column) -> dict[str, Column]:
     }
 
 
-def quality_score(col: Column) -> Column:
+def quality_score(col: Column, toks: Column | None = None) -> Column:
     """Heuristic quality in [0,1]: rewards mid-length docs with some
     stopwords and low symbol noise (the C4/Gopher-style rule family,
     reduced to a deterministic closed form)."""
-    f = quality_features(col)
+    f = quality_features(col, toks)
     len_ok = F.when((f["n_words"] >= 5) & (f["n_words"] <= 10000), 1.0
                     ).otherwise(0.3)
     stop_ok = F.when(f["stopword_hits"] >= 2, 1.0).otherwise(0.5)
@@ -117,14 +124,14 @@ def quality_score(col: Column) -> Column:
 FP_MOD = 1_000_000_007
 
 
-def fingerprint(col: Column) -> Column:
+def fingerprint(col: Column, toks: Column | None = None) -> Column:
     """Order-sensitive document fingerprint: position-weighted sum of
     portable word hashes mod 1e9+7 (a rolling-hash family member that is
     exactly reproducible in SQL). The accumulator reduces mod FP_MOD at
     every step, so the running value stays < 1e9 + term (term < 1e9 * n;
     no int64 overflow under ANSI for any document below ~9e9 tokens);
     modular addition makes this equal to the oracle's sum-then-mod."""
-    toks = ws_tokens(col)
+    toks = toks if toks is not None else ws_tokens(col)
     idx = F.sequence(F.lit(1), F.size(toks))
     terms = F.zip_with(
         toks, idx,
