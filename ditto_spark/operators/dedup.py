@@ -62,12 +62,18 @@ def ngram_jaccard_pairs(
     from |A|,|B|,|A∩B|. Pairs below threshold are filtered before the
     final projection.
 
-    The (id, n_sh, shingle) table feeds BOTH sides of the self-join, so
-    it is registry-cached: round 6's plan computed the whole shingle
-    subtree (explode + id-shuffle + window + distinct) once per join
-    side (plan-verified duplicate subtrees; the cache halves the
-    operator's dominant cost and is released by the caller's
-    cache_scope / clear_operator_caches).
+    The (id, n_sh, shingle) table feeds BOTH sides of the self-join.
+    In the CAPPED (production) form it is registry-cached: round 6's
+    plan computed the whole shingle subtree (explode + id-shuffle +
+    window + distinct + heavy-df anti-join) once per join side
+    (plan-verified duplicate subtrees); the cache halves that dominant
+    cost and is released by the caller's cache_scope /
+    clear_operator_caches. The UNCAPPED exactness baseline deliberately
+    does NOT cache (guide §5: cache only when recompute beats the
+    memory pressure): its pair join is the quadratic part, the two
+    uncached subtree branches overlap inside one job, and the cache's
+    materialization + memory pressure measured 1.5x SLOWER at sf1
+    (29.0s cached vs 19.7s uncached) while saving only 0.3s at sf0.1.
     """
     from pyspark.sql import Window
 
@@ -98,7 +104,8 @@ def ngram_jaccard_pairs(
                  .filter(F.col("c") > max_shingle_df).select("shingle"))
         ex = ex.join(heavy, "shingle", "left_anti")
     ex = ex.withColumn("n_sh", F.count("*").over(Window.partitionBy("id")))
-    ex = cache_registered(ex)
+    if max_shingle_df is not None:
+        ex = cache_registered(ex)
     a = ex.select(F.col("id").alias("left_id"), F.col("n_sh").alias("na"),
                   "shingle")
     b = ex.select(F.col("id").alias("right_id"), F.col("n_sh").alias("nb"),
