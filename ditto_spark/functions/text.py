@@ -84,7 +84,10 @@ def quality_features(col: Column,
     n_chars = F.length(col)
     toks = toks if toks is not None else ws_tokens(col)
     n_words = F.size(toks)
-    n_punct = F.size(F.regexp_extract_all(col, F.lit(r"[^\w\s]"), 0))
+    # every [^\w\s] match is exactly one char, so the match COUNT equals
+    # the length delta after deleting them — no per-row match-array
+    # allocation (regexp_extract_all built a string array just to size)
+    n_punct = n_chars - F.length(F.regexp_replace(col, r"[^\w\s]", ""))
     n_stop = F.size(
         F.array_intersect(
             F.array_distinct(toks),
